@@ -1,0 +1,184 @@
+"""Batched in-order seed chaining as an anchor DP on device.
+
+The reference chains exact seed matches with a greedy left-to-right walk,
+one (query, target) pair at a time, under the gap-ratio window
+``gap_b in [2/3*gap_a - k, 3/2*gap_a + k]`` (negative query gaps allow
+``[-k, 0]``) (ref: seeds/sequence.go:401-576, seeds/alignment.go:411-424).
+
+Here chaining is a dynamic program over *anchors* — (i, j) pairs with
+``query_seed[i] == target_seed[j]`` — batched over many pairs at once and
+vectorized across anchors, the shape the VPU wants.  A forward and a
+backward pass give, for every anchor, the best chain through it, its
+covered bases (the identity measure of seeds/sequence.go:830) and the
+propagated chain start/end coordinates; hosts aggregate those into
+earliest/latest extents exactly where the reference iterates its chain
+list.  The DP finds optimal chains, so chain lengths are >= the
+reference's greedy result under the identical window rule.
+
+Shapes: a batch is ``[P, NA]`` anchors (padded with -1) built from
+``[P, NQ]`` query seeds and ``[P, NT]`` target seeds (padded with -1).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(10 ** 9)  # sentinel for masked scores (kept a python int so that
+                  # importing this module never initializes a backend)
+
+
+def make_anchors(qseeds, qpos, tseeds, tpos, max_anchors: int):
+    """Enumerate matching (i, j) seed pairs in row-major order.
+
+    All args are ``[P, N]`` int32, padded with seed id -1.  Returns a dict
+    of ``[P, max_anchors]`` arrays: ``qi, tj, qp, tp, valid``.  Anchors
+    beyond ``max_anchors`` are dropped (callers size generously; the
+    overflow count is returned for diagnostics).
+    """
+
+    def per_pair(qs, qp, ts, tp):
+        eq = (qs[:, None] == ts[None, :]) & (qs[:, None] >= 0) & (ts[None, :] >= 0)
+        qi, tj = jnp.nonzero(eq, size=max_anchors, fill_value=-1)
+        valid = qi >= 0
+        qpos_a = jnp.where(valid, qp[jnp.clip(qi, 0)], 0)
+        tpos_a = jnp.where(valid, tp[jnp.clip(tj, 0)], 0)
+        overflow = jnp.sum(eq) - jnp.sum(valid)
+        return qi.astype(jnp.int32), tj.astype(jnp.int32), \
+            qpos_a.astype(jnp.int32), tpos_a.astype(jnp.int32), valid, overflow
+
+    qi, tj, qp, tp, valid, overflow = jax.vmap(per_pair)(qseeds, qpos, tseeds, tpos)
+    return {"qi": qi, "tj": tj, "qp": qp, "tp": tp, "valid": valid,
+            "overflow": overflow}
+
+
+def _window_ok(gap_q, gap_t, k):
+    """The reference gap window (ref: seeds/sequence.go:489-496).  Integer
+    divisions there truncate toward zero; gap_q >= 0 on that branch so
+    floor == trunc."""
+    neg = (gap_t >= -k) & (gap_t <= 0)
+    pos = (gap_t >= (gap_q * 2) // 3 - k) & (gap_t <= (gap_q * 3) // 2 + k)
+    return jnp.where(gap_q < 0, neg, pos)
+
+
+def _chain_scan(qi, tj, qp, tp, valid, k: int):
+    """Forward anchor DP for one pair.  Returns per-anchor:
+    score (chain length), cov_q/cov_t (bases covered), start_qp/start_tp
+    (positions of the chain's first anchor), start_flag (anchor begins its
+    best chain)."""
+    n = qi.shape[0]
+
+    def body(t, state):
+        score, cov_q, cov_t, s_qp, s_tp = state
+        gap_q = qp[t] - qp - k
+        gap_t = tp[t] - tp - k
+        idx = jnp.arange(n)
+        ok = (idx < t) & valid & (qi < qi[t]) & (tj < tj[t]) \
+            & _window_ok(gap_q, gap_t, k) & (score > 0)
+        cand = jnp.where(ok, score, NEG)
+        best = jnp.argmax(cand)
+        best_score = cand[best]
+        has_prev = best_score > 0
+        new_score = jnp.where(has_prev, best_score + 1, 1)
+        new_cov_q = jnp.where(has_prev,
+                              cov_q[best] + k + jnp.minimum(0, gap_q[best]), k)
+        new_cov_t = jnp.where(has_prev,
+                              cov_t[best] + k + jnp.minimum(0, gap_t[best]), k)
+        new_s_qp = jnp.where(has_prev, s_qp[best], qp[t])
+        new_s_tp = jnp.where(has_prev, s_tp[best], tp[t])
+        v = valid[t]
+        score = score.at[t].set(jnp.where(v, new_score, 0))
+        cov_q = cov_q.at[t].set(jnp.where(v, new_cov_q, 0))
+        cov_t = cov_t.at[t].set(jnp.where(v, new_cov_t, 0))
+        s_qp = s_qp.at[t].set(jnp.where(v, new_s_qp, 0))
+        s_tp = s_tp.at[t].set(jnp.where(v, new_s_tp, 0))
+        return score, cov_q, cov_t, s_qp, s_tp
+
+    init = (jnp.zeros(n, jnp.int32),) * 5
+    score, cov_q, cov_t, s_qp, s_tp = jax.lax.fori_loop(0, n, body, init)
+    return score, cov_q, cov_t, s_qp, s_tp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors"))
+def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int):
+    """Forward + backward chain DP over a padded batch of pairs.
+
+    Returns a dict of ``[P, max_anchors]`` arrays:
+      qi, tj, qp, tp   anchor coordinates (seed indices / base positions)
+      f, b             best chain length ending at / starting from anchor
+      through          f + b - 1 (length of best chain passing through)
+      cov_q, cov_t     covered bases along that through-chain
+      start_qp/tp      positions of the through-chain's first anchor
+      end_qp/tp        positions of the through-chain's last anchor
+    """
+    anchors = make_anchors(qseeds, qpos, tseeds, tpos, max_anchors)
+    qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
+                             anchors["tp"], anchors["valid"])
+
+    fwd = jax.vmap(_chain_scan, in_axes=(0, 0, 0, 0, 0, None))
+    f, cov_qf, cov_tf, s_qp, s_tp = fwd(qi, tj, qp, tp, valid, k)
+    # backward pass: reverse anchor order and negate coordinates, turning
+    # "best chain starting here" into the same forward recurrence
+    rev = lambda x: x[:, ::-1]
+    bb, cov_qb, cov_tb, e_qp, e_tp = fwd(rev(-qi), rev(-tj), rev(-qp),
+                                         rev(-tp), rev(valid), k)
+    b, cov_qb, cov_tb = rev(bb), rev(cov_qb), rev(cov_tb)
+    e_qp, e_tp = -rev(e_qp), -rev(e_tp)
+
+    through = jnp.where(valid, f + b - 1, 0)
+    return {
+        "qi": qi, "tj": tj, "qp": qp, "tp": tp, "valid": valid,
+        "overflow": anchors["overflow"],
+        "f": f, "b": b, "through": through,
+        "cov_q": cov_qf + cov_qb - k, "cov_t": cov_tf + cov_tb - k,
+        "start_qp": s_qp, "start_tp": s_tp,
+        "end_qp": e_qp, "end_tp": e_tp,
+    }
+
+
+# ---------------------------------------------------------------------
+# numpy oracle (same DP, scalar loops) for kernel parity tests
+# ---------------------------------------------------------------------
+
+def _window_ok_np(gap_q: int, gap_t: int, k: int) -> bool:
+    if gap_q < 0:
+        return -k <= gap_t <= 0
+    return (gap_q * 2) // 3 - k <= gap_t <= (gap_q * 3) // 2 + k
+
+
+def chain_pair_np(qseeds, qpos, tseeds, tpos, k: int):
+    """Scalar twin of the forward pass of ``chain_batch`` for one pair.
+    Returns (anchors, f, cov_q, cov_t) with anchors as (qi, tj) tuples."""
+    anchors = [(i, j) for i in range(len(qseeds)) for j in range(len(tseeds))
+               if qseeds[i] >= 0 and qseeds[i] == tseeds[j]]
+    n = len(anchors)
+    f = [0] * n
+    cov_q = [0] * n
+    cov_t = [0] * n
+    for t in range(n):
+        it, jt = anchors[t]
+        best, best_score = -1, 0
+        for bi in range(t):
+            ib, jb = anchors[bi]
+            if ib >= it or jb >= jt:
+                continue
+            gq = qpos[it] - qpos[ib] - k
+            gt = tpos[jt] - tpos[jb] - k
+            if not _window_ok_np(gq, gt, k):
+                continue
+            if f[bi] > best_score:
+                best_score = f[bi]
+                best = bi
+        if best >= 0:
+            f[t] = best_score + 1
+            gq = qpos[it] - qpos[anchors[best][0]] - k
+            gt = tpos[jt] - tpos[anchors[best][1]] - k
+            cov_q[t] = cov_q[best] + k + min(0, gq)
+            cov_t[t] = cov_t[best] + k + min(0, gt)
+        else:
+            f[t] = 1
+            cov_q[t] = k
+            cov_t[t] = k
+    return anchors, f, cov_q, cov_t
