@@ -1,0 +1,322 @@
+"""Streaming fasta/fastq I/O with re-readable trim/ignore state.
+
+Mirrors the reference ``SequenceSet`` contract (ref: sequence/seqio.go:21-43):
+the first pass over the file records byte offsets/lengths/names per record;
+later passes seek and re-read, applying accumulated front/back trims and
+skipping ignored reads, so trimming never rewrites the input.  Unlike the
+reference (which assumes single-line records and mutates stored byte
+offsets, ref: sequence/seqio.go:378-386) this implementation records spans
+per record — multi-line fasta works — and keeps trims as explicit fields
+applied at read time; the observable behaviour is identical.
+
+Gzip input is handled by Python's ``gzip`` (forward-only seek by
+re-decompression, the same strategy as util/gzip.go:38-62).
+"""
+from __future__ import annotations
+
+import gzip
+import os
+import sys
+from typing import Iterator, List, Optional, TextIO
+
+import numpy as np
+
+from ..core.sequence import Sequence, encode_bases, decode_bases
+
+
+def _open(filename: str, for_index: bool = False):
+    if filename.endswith(".gz"):
+        return gzip.open(filename, "rb")
+    return open(filename, "rb")
+
+
+def _mean_quality(q: Optional[np.ndarray]) -> int:
+    """The reference's 'median' quality is actually a mean, default 20
+    (ref: sequence/seqio.go:331-342)."""
+    if q is None or len(q) == 0:
+        return 20
+    return int(q.astype(np.int64).sum() // len(q))
+
+
+class SequenceSet:
+    def __init__(self, filename: str, min_length: int = 0,
+                 cache: bool = False, ignore_quality: bool = False):
+        self.filename = filename
+        self.min_length = min_length
+        self.cache = cache
+        self.ignore_quality = ignore_quality
+        self.is_fastq = False
+
+        self.spans: List[List] = []     # per record: list of (offset, length)
+        self.q_spans: List[List] = []   # fastq quality line spans
+        self.lengths: List[int] = []    # untrimmed base length - trims
+        self.names: List[str] = []
+        self.ignore: List[bool] = []
+        self.front_trim: List[int] = []
+        self.back_trim: List[int] = []
+        self.quality: List[int] = []    # mean quality per read
+        self.bases = 0
+        self._cached: List[Optional[Sequence]] = []
+        self._extras: List[Sequence] = []
+        self._extra_names: List[str] = []
+        self._indexed = False
+
+    # -- first-pass index ---------------------------------------------
+    def _build_index(self):
+        if self._indexed:
+            return
+        with _open(self.filename) as f:
+            offset = 0
+            pending_name: Optional[str] = None
+            cur_spans: List = []
+            cur_len = 0
+
+            def finish_record():
+                nonlocal cur_spans, cur_len, pending_name
+                if pending_name is None or not cur_spans:
+                    cur_spans = []
+                    cur_len = 0
+                    return
+                if cur_len + 1 >= self.min_length:  # ref: len(buf) >= minLen
+                    self.spans.append(cur_spans)
+                    self.q_spans.append([])
+                    self.lengths.append(cur_len)
+                    self.names.append(pending_name)
+                    self.ignore.append(False)
+                    self.front_trim.append(0)
+                    self.back_trim.append(0)
+                    self.quality.append(20)
+                    self.bases += cur_len
+                cur_spans = []
+                cur_len = 0
+
+            line = f.readline()
+            while line:
+                c = line[:1]
+                if c == b">":
+                    finish_record()
+                    pending_name = line[1:].decode().strip()
+                elif c == b"@":
+                    finish_record()
+                    self.is_fastq = True
+                    pending_name = line[1:].decode().strip()
+                    offset += len(line)
+                    seq_line = f.readline()
+                    seq_len = len(seq_line.rstrip(b"\r\n"))
+                    seq_off = offset
+                    offset += len(seq_line)
+                    plus = f.readline()
+                    if not plus.startswith(b"+"):
+                        raise ValueError(
+                            f"Invalid fastq format (on + line): {plus[:40]!r}")
+                    offset += len(plus)
+                    q_off = offset
+                    q_line = f.readline()
+                    offset += len(q_line)
+                    if seq_len + 1 >= self.min_length:
+                        self.spans.append([(seq_off, seq_len)])
+                        self.q_spans.append([(q_off, seq_len)])
+                        self.lengths.append(seq_len)
+                        self.names.append(pending_name)
+                        self.ignore.append(False)
+                        self.front_trim.append(0)
+                        self.back_trim.append(0)
+                        self.quality.append(20)
+                        self.bases += seq_len
+                    pending_name = None
+                    line = f.readline()
+                    continue
+                else:
+                    stripped = line.rstrip(b"\r\n")
+                    if stripped:
+                        cur_spans.append((offset, len(stripped)))
+                        cur_len += len(stripped)
+                offset += len(line)
+                line = f.readline()
+            finish_record()
+        self._cached = [None] * len(self.spans)
+        self._indexed = True
+
+    # -- reading -------------------------------------------------------
+    def _read_record(self, f, rid: int) -> Sequence:
+        parts = []
+        for off, ln in self.spans[rid]:
+            f.seek(off)
+            parts.append(f.read(ln))
+        raw = b"".join(parts)
+        codes = encode_bases(raw)
+        quality = None
+        if self.is_fastq and self.q_spans[rid] and not self.ignore_quality:
+            qparts = []
+            for off, ln in self.q_spans[rid]:
+                f.seek(off)
+                qparts.append(f.read(ln))
+            qraw = np.frombuffer(b"".join(qparts), dtype=np.uint8)
+            if qraw.shape[0] == codes.shape[0]:
+                quality = qraw - 33
+        ft, bt = self.front_trim[rid], self.back_trim[rid]
+        seq = Sequence(codes, id=rid, name=self.names[rid], quality=quality)
+        self.quality[rid] = _mean_quality(quality)
+        if ft or bt:
+            seq = seq.subsequence(ft, len(seq) - bt)
+        return seq
+
+    def get_sequences(self, start: int = 0,
+                      max_n: Optional[int] = None) -> Iterator[Sequence]:
+        """Stream non-ignored sequences with trims applied, then extras
+        (ref: sequence/seqio.go:106-276)."""
+        self._build_index()
+        sent = 0
+        limit = max_n if max_n is not None else float("inf")
+        with _open(self.filename) as f:
+            for rid in range(start, len(self.spans)):
+                if sent >= limit:
+                    return
+                if self.ignore[rid]:
+                    continue
+                if self.cache and self._cached[rid] is not None:
+                    base = self._cached[rid]
+                    ft, bt = self.front_trim[rid], self.back_trim[rid]
+                    seq = base.subsequence(ft, len(base) - bt) if (ft or bt) else base
+                    seq.id = rid
+                    yield seq
+                else:
+                    seq = self._read_record(f, rid)
+                    if self.cache:
+                        full = seq
+                        if self.front_trim[rid] or self.back_trim[rid]:
+                            full = self._read_full(f, rid)
+                        self._cached[rid] = full
+                    yield seq
+                sent += 1
+        n_records = len(self.spans)
+        for i, seq in enumerate(self._extras):
+            rid = n_records + i
+            if rid >= len(self.ignore):
+                self.ignore.append(False)
+                self.names.append(self._extra_names[i])
+                self.lengths.append(len(seq))
+                self.front_trim.append(0)
+                self.back_trim.append(0)
+                self.quality.append(_mean_quality(seq.quality))
+            if sent >= limit or self.ignore[rid]:
+                continue
+            seq.id = rid
+            yield seq
+            sent += 1
+
+    def _read_full(self, f, rid: int) -> Sequence:
+        ft, bt = self.front_trim[rid], self.back_trim[rid]
+        self.front_trim[rid] = 0
+        self.back_trim[rid] = 0
+        try:
+            return self._read_record(f, rid)
+        finally:
+            self.front_trim[rid] = ft
+            self.back_trim[rid] = bt
+
+    def get_n_sequences_from(self, index: int, n: int) -> Iterator[Sequence]:
+        return self.get_sequences(start=index, max_n=n)
+
+    def get_sequences_by_id(self, ids) -> Iterator[Sequence]:
+        wanted = set(int(i) for i in ids)
+        old = self.ignore
+        self.ignore = [i not in wanted for i in range(len(old))]
+        try:
+            yield from self.get_sequences()
+        finally:
+            self.ignore = old
+
+    # -- metadata ------------------------------------------------------
+    def get_ids_by_length(self):
+        """Non-ignored ids sorted by ascending length
+        (ref: sequence/seqio.go:360-373)."""
+        self._build_index()
+        ids = [i for i in range(len(self.lengths)) if not self.ignore[i]]
+        lengths = [self.lengths[i] for i in ids]
+        order = np.argsort(np.asarray(lengths), kind="stable")
+        return [ids[i] for i in order], [lengths[i] for i in order]
+
+    def get_length(self, rid: int) -> int:
+        return self.lengths[rid]
+
+    def get_bases(self) -> int:
+        return self.bases
+
+    def get_name(self, rid: int) -> str:
+        return self.names[rid] if rid < len(self.names) else str(rid)
+
+    def set_name(self, rid: int, name: str):
+        self.names[rid] = name
+
+    def get_median_quality(self, rid: int) -> int:
+        return self.quality[rid]
+
+    @property
+    def size(self) -> int:
+        self._build_index()
+        return len(self.spans)
+
+    # -- trim state ----------------------------------------------------
+    def set_ignore(self, rid: int, ignore: bool):
+        self.ignore[rid] = ignore
+
+    def set_front_trim(self, rid: int, trim: int):
+        self.lengths[rid] -= trim - self.front_trim[rid]
+        self.front_trim[rid] = trim
+
+    def set_back_trim(self, rid: int, trim: int):
+        self.lengths[rid] -= trim - self.back_trim[rid]
+        self.back_trim[rid] = trim
+
+    def get_front_trim(self, rid: int) -> int:
+        return self.front_trim[rid]
+
+    def get_back_trim(self, rid: int) -> int:
+        return self.back_trim[rid]
+
+    def add_sequence(self, seq: Sequence, name: str):
+        """Extra in-memory sequences appended after the file's reads
+        (split halves; ref: sequence/seqio.go:396)."""
+        self._extras.append(seq)
+        self._extra_names.append(name)
+
+    # -- output --------------------------------------------------------
+    def _format(self, seq: Sequence, full_names: bool) -> str:
+        name = self.get_name(seq.id) if full_names else str(seq.id)
+        if self.is_fastq and seq.quality is not None:
+            q = (seq.quality + 33).astype(np.uint8).tobytes().decode("latin1")
+            return f"@{name}\n{seq}\n+\n{q}\n"
+        prefix = "@" if self.is_fastq else ">"
+        if self.is_fastq:
+            q = "I" * len(seq)
+            return f"{prefix}{name}\n{seq}\n+\n{q}\n"
+        return f">{name}\n{seq}\n"
+
+    def write(self, out: TextIO, full_names: bool = True):
+        """Re-read input, emitting trimmed non-ignored reads
+        (ref: sequence/seqio.go:438-458)."""
+        for seq in self.get_sequences():
+            out.write(self._format(seq, full_names))
+
+    def demultiplex(self, out_path: str):
+        """One output file per Barcode* name prefix; the barcode label is
+        removed from the emitted name (ref: sequence/seqio.go:460-523)."""
+        ext = ".fastq" if self.is_fastq else ".fasta"
+        outputs = {}
+        try:
+            for seq in self.get_sequences():
+                n = self.get_name(seq.id)
+                if not n.startswith("Barcode"):
+                    continue
+                pos = n.find("_")
+                if pos == -1:
+                    continue
+                label = n[:pos]
+                if label not in outputs:
+                    outputs[label] = open(os.path.join(out_path, label + ext), "w")
+                self.set_name(seq.id, n[pos + 1:])
+                outputs[label].write(self._format(seq, True))
+        finally:
+            for f in outputs.values():
+                f.close()

@@ -1,0 +1,573 @@
+"""Read-to-reference mapping: seed-chain alignment against an indexed
+reference genome.
+
+Mirrors the reference mapper (ref: mapping/mapping.go): the reference
+genome gets one best-ranked seed per ``seed_rate`` bases, is chunked in 10
+interleaved passes so neighbouring chunks overlap by ``edge_size``
+(mapping.go:79-101, wrap chunk for circular genomes), and reads are mapped
+by querying 1k-base windows — first both ends, pairing consistent hits
+(``is_consistent`` distance-ratio rule, mapping.go:131-160), stepping
+inward, and binary-searching for chimeric split points
+(mapping.go:207-288).
+
+TPU mapping of the hot path: candidate retrieval + popcount gate are two
+int8 matmuls over a (hashed) seed-bucket membership matrix; chaining is the
+batched anchor DP.  Each driver stage batches the device work across every
+active read, so host control flow never issues per-read device calls.
+"""
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.sequence import Sequence
+from ..seeds import SeedIndex, SeedSequence
+from ..ops import match as match_ops
+from ..ops.chain import run_chain_batch
+
+
+class Mapping:
+    """One mapped region (ref: mapping/mapping.go:11-20)."""
+    __slots__ = ("query", "start", "end", "query_offset", "query_inset",
+                 "rc", "ids")
+
+    def __init__(self, query, start, end, query_offset, query_inset, rc, ids):
+        self.query = query
+        self.start = start
+        self.end = end
+        self.query_offset = query_offset
+        self.query_inset = query_inset
+        self.rc = rc
+        self.ids = ids
+
+    def __repr__(self):
+        return (f"Mapping({self.start}-{self.end} q[{self.query_offset},"
+                f"-{self.query_inset}] rc={self.rc} ids={self.ids})")
+
+
+class Mapper:
+    def __init__(self, reference: Sequence, circular: bool, k: int,
+                 kmer_values: np.ndarray, seed_rate: int = 40,
+                 edge_size: int = 1000, chunk_size: int = 10000):
+        self.reference = reference
+        self.circular = circular
+        self.k = k
+        self.edge_size = edge_size
+        self.index = SeedIndex(k)
+        self.index.add_single_seeds(reference, seed_rate, kmer_values)
+        # 10 interleaved chunking passes (ref: mapping/mapping.go:79-101)
+        n = len(reference)
+        for j in range(10):
+            step = chunk_size * 10 - edge_size
+            i = j * chunk_size
+            while i < n - chunk_size // 2:
+                end = min(i + chunk_size, n)
+                self.index.add_sequence(
+                    self.index.new_seed_sequence(reference.subsequence(i, end)))
+                i += step
+        if circular:
+            wrap = reference.subsequence(n - edge_size, n).append(
+                reference.subsequence(0, edge_size))
+            self.index.add_sequence(self.index.new_seed_sequence(wrap))
+        self.index.index_sequences()
+        self._build_device_index()
+
+    def _build_device_index(self):
+        S = self.index.num_seeds
+        self.H = match_ops.choose_hash_size(S)
+        self.membership = match_ops.build_membership(
+            [s.seeds for s in self.index.sequences], S, self.H)
+        # "usable" seeds: in at least one but not all chunks
+        self.usable = (self.index._seed_counts > 0) & \
+            (self.index._seed_counts < self.index.num_sequences)
+        # usable for Matches only excludes all-chunk seeds (adj always
+        # exists once allocated); absent seeds contribute zero counts
+        self.usable_m = self.index._seed_counts < self.index.num_sequences
+        self._chunk_pos = [s.seed_positions(self.k).astype(np.int32)
+                          for s in self.index.sequences]
+
+    # ------------------------------------------------------------------
+    def as_string(self, m: Mapping) -> str:
+        """PAF line (ref: mapping/mapping.go:112-122)."""
+        rc = "-" if m.rc else "+"
+        mapped_len = m.end - m.start
+        if self.circular and mapped_len < 0:
+            mapped_len = len(self.reference) - m.start + m.end
+        q = m.query
+        return (f"{q.get_name()}\t{len(q)}\t{m.query_offset}\t"
+                f"{len(q) - m.query_inset}\t{rc}\t"
+                f"{self.reference.get_name()}\t{len(self.reference)}\t"
+                f"{m.start}\t{m.end}\t{m.ids}\t{mapped_len}\t255")
+
+    # -- batched performMapping ----------------------------------------
+    def perform_mapping_batch(self, queries: List[Sequence]) -> List[List[Mapping]]:
+        """The reference's performMapping (mapping.go:489-611) over a batch
+        of query windows: retrieval matmul, popcount gate, chain DP,
+        adaptive thresholds, duplicate removal."""
+        if not queries:
+            return []
+        k = self.k
+        seed_queries = []
+        metas = []  # (query_index, is_rc, SeedSequence)
+        for qi, q in enumerate(queries):
+            sq = self.index.new_seed_sequence(q)
+            rq = self.index.new_seed_sequence(q.reverse_complement())
+            seed_queries.append(sq)
+            metas.append((qi, False, sq))
+            seed_queries.append(rq)
+            metas.append((qi, True, rq))
+        V, VD, num_sets = match_ops.build_query_rows(
+            seed_queries, self.index.num_seeds, self.usable_m, self.H)
+        counts = np.asarray(match_ops.hit_counts(V, self.membership))
+        dcounts = np.asarray(match_ops.hit_counts(VD, self.membership))
+        cand_lists = match_ops.candidates_from_counts(counts, num_sets, 0.25)
+
+        # build chain pairs for all (query, candidate)
+        qs_l, qp_l, ts_l, tp_l, pair_meta = [], [], [], [], []
+        for mi, (qi, is_rc, sq) in enumerate(metas):
+            if sq.num_seeds == 0:
+                continue
+            qpos = sq.seed_positions(k).astype(np.int32)
+            qmask = np.zeros(self.index.num_seeds, dtype=bool)
+            qmask[sq.seeds] = True
+            for ci in cand_lists[mi]:
+                chunk = self.index.sequences[ci]
+                tkeep = qmask[chunk.seeds]
+                qs_l.append(sq.seeds)
+                qp_l.append(qpos)
+                ts_l.append(chunk.seeds[tkeep])
+                tp_l.append(self._chunk_pos[ci][tkeep])
+                pair_meta.append((mi, int(ci)))
+        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, k,
+                              nq=64, nt=64, max_anchors=128)
+        results: List[List[Mapping]] = [[] for _ in queries]
+        if out is None:
+            return results
+
+        # walk pairs grouped by query seq, applying the adaptive thresholds
+        # in candidate order (ref: mapping.go:494-589)
+        pair_by_meta = {}
+        for pi, (mi, ci) in enumerate(pair_meta):
+            pair_by_meta.setdefault(mi, []).append((pi, ci))
+        min_matches_by_query = {}
+        for qi in range(len(queries)):
+            fw_mi, rc_mi = 2 * qi, 2 * qi + 1
+            sq, rq = metas[fw_mi][2], metas[rc_mi][2]
+            min_matches = max(5, sq.num_seeds // 5)
+            min_rc = max(5, rq.num_seeds // 5)
+            res: List[Mapping] = []
+            for mi, is_rc in ((fw_mi, False), (rc_mi, True)):
+                seed_q = metas[mi][2]
+                for pi, ci in pair_by_meta.get(mi, []):
+                    cur_min = min_rc if is_rc else min_matches
+                    # popcount gate on distinct shared seeds
+                    if dcounts[mi, ci] < cur_min:
+                        continue
+                    best = int(out["through"][pi].max(initial=0))
+                    if best < cur_min:
+                        continue
+                    thr = max(cur_min, (best * 2) // 3)
+                    good = out["valid"][pi] & (out["through"][pi] >= thr)
+                    ms = self._extract_chains(out, pi, good, seed_q,
+                                              self.index.sequences[ci],
+                                              is_rc, queries[qi])
+                    for m, chain_len in ms:
+                        res.append(m)
+                        limit = (chain_len * 4) // 5
+                        if not is_rc and limit > min_matches:
+                            min_matches = limit
+                        if limit > min_rc:
+                            min_rc = limit
+            res = _dedup_by_position(res)
+            results[qi] = res
+        return results
+
+    def _extract_chains(self, out, pi, good, seed_q: SeedSequence,
+                        chunk: SeedSequence, is_rc: bool, query: Sequence):
+        """Mappings from the good anchors of one pair, one per distinct
+        chain start (ref: mapping.go:528-551)."""
+        k = self.k
+        idxs = np.flatnonzero(good)
+        if idxs.size == 0:
+            return []
+        ref_len = len(self.reference)
+        starts = {}
+        for a in idxs:
+            key = (int(out["start_qp"][pi][a]), int(out["start_tp"][pi][a]))
+            prev = starts.get(key)
+            stat = (int(out["through"][pi][a]), int(out["cov_t"][pi][a]),
+                    int(out["end_qp"][pi][a]), int(out["end_tp"][pi][a]))
+            if prev is None or stat > prev:
+                starts[key] = stat
+        res = []
+        for (sqp, stp), (chain_len, cov_t, eqp, etp) in starts.items():
+            start = chunk.offset + stp
+            end = ref_len - chunk.inset - (chunk.length - etp - k)
+            if self.circular and start > ref_len:
+                start -= ref_len
+            q_off_local = sqp
+            q_in_local = seed_q.length - eqp - k
+            if q_off_local + q_in_local > (seed_q.length * 2) // 3:
+                continue
+            if is_rc:
+                # offsets measured on the RC query; swap for the original
+                q_inset = q_off_local + seed_q.offset
+                q_offset = q_in_local + seed_q.inset
+            else:
+                q_offset = q_off_local + seed_q.offset
+                q_inset = q_in_local + seed_q.inset
+            res.append((Mapping(query, start, end, q_offset, q_inset,
+                                is_rc, cov_t), chain_len))
+        return res
+
+    # -- pairing / consistency ------------------------------------------
+    def is_consistent(self, left: Mapping, right: Mapping) -> bool:
+        """Distance-ratio rule (ref: mapping/mapping.go:131-160)."""
+        if left.rc != right.rc:
+            return False
+        expected = right.query_offset - len(left.query) + left.query_inset
+        if not left.rc:
+            distance = right.start - left.end
+        else:
+            distance = left.start - right.end
+        if self.circular and distance < -50:
+            distance += len(self.reference)
+        if distance < 50 and expected < 50 and distance > -50:
+            return True
+        if distance < 500:
+            return expected < (distance * 3) // 2 and expected > (distance * 2) // 3
+        if distance > 5000:
+            return expected < (distance * 10) // 9 and expected > (distance * 9) // 10
+        ratio = (distance - 500) / 4500.0
+        ratio = 3.0 / 2.0 + ratio * (10.0 / 9.0 - 3.0 / 2.0)
+        return (distance < int(expected * ratio)
+                and distance > int(expected / ratio))
+
+    def match_pairs(self, open_a: List[Mapping], open_b: List[Mapping]):
+        """Merge consistent end pairs (ref: mapping/mapping.go:174-203)."""
+        matched: List[Mapping] = []
+        open_a = list(open_a)
+        open_b = list(open_b)
+        i = len(open_a) - 1
+        while i >= 0:
+            ra = open_a[i]
+            for j in range(len(open_b) - 1, -1, -1):
+                rb = open_b[j]
+                if self.is_consistent(ra, rb):
+                    q_offset = ra.query_offset
+                    q_inset = rb.query_inset
+                    first, second = (rb, ra) if ra.rc else (ra, rb)
+                    matched.append(Mapping(
+                        ra.query, first.start, second.end, q_offset,
+                        q_inset, ra.rc, ra.ids + rb.ids))
+                    open_a[i] = open_a[-1]
+                    open_a.pop()
+                    open_b[j] = open_b[-1]
+                    open_b.pop()
+                    break
+            i -= 1
+        return open_a, open_b, matched
+
+    # -- top-level per-read mapping -------------------------------------
+    def map_batch(self, reads: List[Sequence]) -> List[List[Mapping]]:
+        """Map a batch of reads, batching every device stage across reads
+        (ref flow: mapping/mapping.go:430-487)."""
+        results: List[Optional[List[Mapping]]] = [None] * len(reads)
+        es = self.edge_size
+
+        short_idx = [i for i, r in enumerate(reads) if len(r) <= 2 * es]
+        long_idx = [i for i, r in enumerate(reads) if len(r) > 2 * es]
+        # short reads: one query each
+        short_maps = self.perform_mapping_batch([reads[i] for i in short_idx])
+        for i, ms in zip(short_idx, short_maps):
+            ms = _remove_dominated(ms, ms, len(reads[i]))
+            for m in ms:
+                m.query = reads[i]
+            results[i] = ms
+
+        # long reads stage 1: both ends
+        subqs = []
+        for i in long_idx:
+            r = reads[i]
+            subqs.append(r.subsequence(0, es))
+            subqs.append(r.subsequence(len(r) - es, len(r)))
+        end_maps = self.perform_mapping_batch(subqs)
+        states = {}
+        for idx, i in enumerate(long_idx):
+            r = reads[i]
+            open_a = _remove_dominated(end_maps[2 * idx], end_maps[2 * idx],
+                                       len(r))
+            open_b = _remove_dominated(end_maps[2 * idx + 1],
+                                       end_maps[2 * idx + 1], len(r))
+            for m in open_a + open_b:
+                m.query = r
+            open_a, open_b, matched = self.match_pairs(open_a, open_b)
+            if matched:
+                results[i] = matched
+            elif len(r) < 3 * es:
+                results[i] = open_a + open_b
+            else:
+                states[i] = (open_a, open_b)
+
+        # stage 2: mapNext (two rounds of stepping inward), batched
+        self._map_next_stage(reads, states, results)
+
+        # stage 3: chimera split search for remaining reads
+        self._split_stage(reads, states, results)
+        return [r if r is not None else [] for r in results]
+
+    def _map_next_stage(self, reads, states, results):
+        """Batched mapNext (ref: mapping/mapping.go:305-383)."""
+        es = self.edge_size
+        if not states:
+            return
+        # round 1 queries
+        subqs = []
+        metas = []
+        for i in list(states.keys()):
+            r = reads[i]
+            if len(r) < es * 4:
+                subqs.append(r.subsequence(es, len(r) - es))
+                metas.append((i, "mid"))
+            else:
+                subqs.append(r.subsequence(es, es * 2))
+                metas.append((i, "a1"))
+                subqs.append(r.subsequence(len(r) - es * 2, len(r) - es))
+                metas.append((i, "b1"))
+        maps = self.perform_mapping_batch(subqs)
+        new_by_read = {}
+        for (i, tag), ms in zip(metas, maps):
+            r = reads[i]
+            ms = _remove_dominated(ms, ms, len(r))
+            for m in ms:
+                m.query = r
+            new_by_read.setdefault(i, {})[tag] = ms
+        need_round2 = []
+        for i, tags in new_by_read.items():
+            open_a, open_b = states[i]
+            r = reads[i]
+            if "mid" in tags:
+                new_a = tags["mid"]
+                open_a2, new_a, extended = self.match_pairs(open_a, new_a)
+                if extended:
+                    open_a = new_a + extended
+                else:
+                    open_a = open_a2 + new_a
+                new_a, new_b, matched = self.match_pairs(open_a, open_b)
+                if matched:
+                    results[i] = matched
+                    del states[i]
+                else:
+                    # unmatched leftovers go on to the split stage
+                    # (ref: mapping/mapping.go:322-326, 448-467)
+                    states[i] = (new_a, new_b)
+                continue
+            new_a = tags.get("a1", [])
+            new_b = tags.get("b1", [])
+            open_a, new_a2, extended = self.match_pairs(open_a, new_a)
+            open_a = open_a + new_a2
+            if extended:
+                open_a = open_a + extended
+            open_b, new_b2, extended = self.match_pairs(new_b, open_b)
+            open_b = open_b + new_b2
+            if extended:
+                open_b = open_b + extended
+            new_a, new_b, matched = self.match_pairs(open_a, open_b)
+            if matched:
+                results[i] = matched
+                del states[i]
+            else:
+                states[i] = (new_a, new_b)
+                need_round2.append(i)
+        # round 2: one more step inward
+        if not need_round2:
+            return
+        subqs, metas = [], []
+        for i in need_round2:
+            r = reads[i]
+            if len(r) > es * 5:
+                subqs.append(r.subsequence(es * 2, es * 3))
+                metas.append((i, "a2"))
+            if len(r) > es * 6:
+                subqs.append(r.subsequence(len(r) - es * 3, len(r) - es * 2))
+                metas.append((i, "b2"))
+        maps = self.perform_mapping_batch(subqs)
+        new_by_read = {}
+        for (i, tag), ms in zip(metas, maps):
+            r = reads[i]
+            ms = _remove_dominated(ms, ms, len(r))
+            for m in ms:
+                m.query = r
+            new_by_read.setdefault(i, {})[tag] = ms
+        for i in need_round2:
+            open_a, open_b = states[i]
+            r = reads[i]
+            tags = new_by_read.get(i, {})
+            if len(r) > es * 5:
+                next_a = tags.get("a2", [])
+                next_a, open_a2, extended = self.match_pairs(open_a, next_a)
+                open_a = next_a
+                if extended:
+                    open_a = open_a + extended
+                open_a = open_a + open_a2
+            if len(r) > es * 6:
+                next_b = tags.get("b2", [])
+                next_b, open_b2, extended = self.match_pairs(next_b, open_b)
+                open_b = next_b
+                if extended:
+                    open_b = open_b + extended
+                open_b = open_b + open_b2
+            if len(r) > es * 5:
+                open_a, open_b, matched = self.match_pairs(open_a, open_b)
+                if matched:
+                    results[i] = matched
+                    del states[i]
+                    continue
+            states[i] = (open_a, open_b)
+
+    def _split_stage(self, reads, states, results):
+        """Batched chimeric split-point binary search
+        (ref: mapping/mapping.go:207-288, 452-483)."""
+        es = self.edge_size
+        # per read: stack of (open_a, open_b, left, right) searches
+        searches = {}
+        for i, (open_a, open_b) in states.items():
+            r = reads[i]
+            left = es * 2
+            right = len(r) - es * 2
+            for a in open_a:
+                if a.query_inset > left:
+                    left = a.query_inset
+            left = len(r) - right
+            for b in open_b:
+                if b.query_offset < right:
+                    right = b.query_offset
+            searches[i] = [(open_a, open_b, left, right)]
+        while True:
+            batch = []
+            metas = []
+            for i, stack in searches.items():
+                if not stack:
+                    continue
+                open_a, open_b, left, right = stack[-1]
+                if right - left < es:
+                    stack.pop()
+                    continue
+                start = (right + left - es) // 2
+                batch.append(reads[i].subsequence(start, start + es))
+                metas.append((i, start))
+            if not batch:
+                active = any(s for s in searches.values())
+                if not active:
+                    break
+                continue
+            maps = self.perform_mapping_batch(batch)
+            for (i, start), mid in zip(metas, maps):
+                stack = searches[i]
+                open_a, open_b, left, right = stack.pop()
+                r = reads[i]
+                for m in mid:
+                    m.query = r
+                new_left, new_right = left, right
+                after_a = after_b = 0
+                for mm in mid:
+                    for ma in open_a:
+                        if self.is_consistent(ma, mm):
+                            ma.query_inset = mm.query_inset
+                            ma.ids += mm.ids
+                            if ma.rc:
+                                ma.start = mm.start
+                            else:
+                                ma.end = mm.end
+                            mid_matched = len(r) - mm.query_inset - mm.query_offset
+                            after_a = max(after_a, mid_matched)
+                            new_left = max(new_left, len(r) - mm.query_inset)
+                            break
+                    if after_a < (es * 2) // 3:
+                        for mb in open_b:
+                            if self.is_consistent(mm, mb):
+                                mb.query_offset = mm.query_offset
+                                mb.ids += mm.ids
+                                if mb.rc:
+                                    mb.end = mm.end
+                                else:
+                                    mb.start = mm.start
+                                mid_matched = len(r) - mm.query_inset - mm.query_offset
+                                after_b = max(after_b, mid_matched)
+                                new_right = min(new_right, mm.query_offset)
+                                break
+                if after_a > 0 and after_b > 0:
+                    if new_left - left > es * 2:
+                        stack.append((open_a, [], new_left - es * 2,
+                                      new_left - es))
+                    if right - new_right > es * 2:
+                        stack.append(([], open_b, new_right + es,
+                                      new_right + es * 2))
+                elif after_a == 0 and after_b == 0:
+                    end = start + es
+                    if open_a:
+                        stack.append((open_a, [], left, start))
+                    if open_b:
+                        stack.append(([], open_b, end, right))
+                else:
+                    stack.append((open_a, open_b, new_left, new_right))
+        # finalize: drop unpaired ends that reach the far edge
+        for i, (open_a, open_b) in states.items():
+            r = reads[i]
+            size = len(r) - es
+            open_a = [a for a in open_a if a.query_inset < size]
+            open_b = [b for b in open_b if b.query_offset < size]
+            results[i] = open_a + open_b
+
+    def map(self, read: Sequence) -> List[Mapping]:
+        return self.map_batch([read])[0]
+
+
+def _dedup_by_position(results: List[Mapping]) -> List[Mapping]:
+    """Sort by start, drop same-strand overlaps keeping the longer
+    (ref: mapping/mapping.go:590-608)."""
+    if len(results) <= 1:
+        return results
+    results = sorted(results, key=lambda m: m.start)
+    out = []
+    for m in results:
+        if out and out[-1].rc == m.rc and m.start < out[-1].end:
+            if (out[-1].end - out[-1].start) < (m.end - m.start):
+                out[-1] = m
+        else:
+            out.append(m)
+    return out
+
+
+def _remove_dominated(open_list: List[Mapping], extended: List[Mapping],
+                      query_len: int) -> List[Mapping]:
+    """Drop mappings 90%-contained in a 25%-better mapping
+    (ref: mapping/mapping.go:387-428)."""
+    if not open_list or not extended:
+        return open_list
+    open_list = sorted(open_list, key=lambda m: m.query_offset)
+    ext = sorted(extended, key=lambda m: m.query_offset)
+    keep = []
+    j = 0
+    for nxt in open_list:
+        while j < len(ext) and query_len - ext[j].query_inset < nxt.query_offset:
+            j += 1
+        if j == len(ext):
+            keep.append(nxt)
+            continue
+        dominated = False
+        kk = j
+        while (not dominated and kk < len(ext)
+               and ext[kk].query_offset < query_len - nxt.query_inset):
+            e = ext[kk]
+            if e is not nxt and e.ids * 4 > nxt.ids * 5:
+                start = max(nxt.query_offset, e.query_offset)
+                end = query_len - max(nxt.query_inset, e.query_inset)
+                dominated = ((end - start) * 10 >
+                             (query_len - nxt.query_offset - nxt.query_inset) * 9)
+            kk += 1
+        if not dominated:
+            keep.append(nxt)
+    return keep

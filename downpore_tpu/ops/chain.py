@@ -138,6 +138,59 @@ def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int):
     }
 
 
+def _bucket(n: int) -> int:
+    """Round a batch size up to a small set of buckets so jit caches stay
+    warm across calls."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
+                    nq: int, nt: int, max_anchors: int):
+    """Host wrapper: pad a list of (query, target) seed/position vectors to
+    fixed shapes, run ``chain_batch`` on device, return numpy outputs
+    truncated back to the true pair count.
+
+    Queries/targets longer than nq/nt are truncated (callers choose shapes
+    to make this rare and can check ``overflow``).
+    """
+    P = len(qseeds_list)
+    if P == 0:
+        return None
+    PB = _bucket(P)
+    qs = np.full((PB, nq), -1, np.int32)
+    qp = np.zeros((PB, nq), np.int32)
+    ts = np.full((PB, nt), -1, np.int32)
+    tp = np.zeros((PB, nt), np.int32)
+    for i in range(P):
+        m = min(len(qseeds_list[i]), nq)
+        qs[i, :m] = qseeds_list[i][:m]
+        qp[i, :m] = qpos_list[i][:m]
+        m = min(len(tseeds_list[i]), nt)
+        ts[i, :m] = tseeds_list[i][:m]
+        tp[i, :m] = tpos_list[i][:m]
+    out = chain_batch(qs, qp, ts, tp, k=k, max_anchors=max_anchors)
+    return {key: np.asarray(v)[:P] for key, v in out.items()}
+
+
+def good_chain_stats(out, pair_idx: int, min_match: int):
+    """Aggregate one pair's DP arrays the way the reference walks its chain
+    list: anchors on chains within 2/3 of the best and >= min_match long
+    are 'good' (ref: seeds/sequence.go:434-465).
+
+    Returns (best_len, thr, good_mask) where good_mask selects good
+    anchors."""
+    through = out["through"][pair_idx]
+    valid = out["valid"][pair_idx]
+    best = int(through.max(initial=0))
+    if best < min_match:
+        return best, min_match, np.zeros_like(valid)
+    thr = max(min_match, (best * 2) // 3)
+    return best, thr, valid & (through >= thr)
+
+
 # ---------------------------------------------------------------------
 # numpy oracle (same DP, scalar loops) for kernel parity tests
 # ---------------------------------------------------------------------

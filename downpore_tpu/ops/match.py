@@ -18,6 +18,7 @@ its fast path may return supersets for min_count > 16.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,71 @@ def candidates_from_counts(counts: np.ndarray, num_sets: np.ndarray,
         else:
             out.append(np.flatnonzero(counts[qi] >= min_count[qi]))
     return out
+
+
+def choose_hash_size(num_seeds: int, max_h: int = 1 << 17) -> int:
+    """Bucket-space size for the hashed membership matmul: identity when the
+    seed space is small, else a power-of-two cap.  Hash collisions only ever
+    *add* counts, so candidate recall vs the exact computation is preserved
+    (the chain DP downstream is the precision filter)."""
+    h = 1
+    while h < num_seeds:
+        h *= 2
+    return min(h, max_h)
+
+
+def hash_ids(ids: np.ndarray, num_seeds: int, H: int) -> np.ndarray:
+    """Seed id -> bucket.  Identity when everything fits; Knuth
+    multiplicative hashing otherwise."""
+    if num_seeds <= H:
+        return np.asarray(ids, dtype=np.int64)
+    return ((np.asarray(ids, dtype=np.uint64) * np.uint64(2654435761))
+            % np.uint64(H)).astype(np.int64)
+
+
+def build_membership(chunk_seed_lists, num_seeds: int,
+                     H: Optional[int] = None) -> np.ndarray:
+    """Hashed 0/1 membership matrix ``[H, C]`` int8 from per-chunk seed-id
+    lists — the inverted index in MXU-ready form."""
+    if H is None:
+        H = choose_hash_size(num_seeds)
+    C = len(chunk_seed_lists)
+    M = np.zeros((H, C), dtype=np.int8)
+    for ci, seeds in enumerate(chunk_seed_lists):
+        if len(seeds):
+            M[hash_ids(np.unique(seeds), num_seeds, H), ci] = 1
+    return M
+
+
+def build_query_rows(queries, num_seeds: int, usable: np.ndarray,
+                     H: Optional[int] = None):
+    """Hashed query matrices: returns (V_runs [Q, H] int8 with per-run
+    multiplicities, V_distinct [Q, H] int8 0/1, num_sets [Q]).
+
+    ``num_sets`` (the usable-run count feeding min_count) is exact even
+    when buckets collide."""
+    if H is None:
+        H = choose_hash_size(num_seeds)
+    qs = list(queries)
+    V = np.zeros((len(qs), H), dtype=np.int8)
+    VD = np.zeros((len(qs), H), dtype=np.int8)
+    num_sets = np.zeros(len(qs), dtype=np.int32)
+    for i, q in enumerate(qs):
+        prev = -1
+        n = 0
+        distinct = set()
+        for s in q.seeds:
+            s = int(s)
+            if s != prev and usable[s]:
+                b = int(hash_ids(np.int64(s), num_seeds, H))
+                V[i, b] += 1
+                distinct.add(b)
+                n += 1
+                prev = s
+        for b in distinct:
+            VD[i, b] = 1
+        num_sets[i] = n
+    return V, VD, num_sets
 
 
 def build_query_matrix(queries, num_seeds: int, usable: np.ndarray):

@@ -146,6 +146,7 @@ class SeedIndex:
             self._add_seed_kmer(kmer)
             self._add_seed_kmer(kmer_reverse_complement(kmer, k))
         self._membership = None
+        self._seed_counts = None
 
     def add_single_seeds(self, seq: Sequence, seed_rate: int,
                          ranks: np.ndarray):
@@ -167,6 +168,7 @@ class SeedIndex:
             j = lo + int(np.argmax(vals[lo:hi]))
             self._add_seed_kmer(int(kmers[j]))
         self._membership = None
+        self._seed_counts = None
 
     def get_seeds_from_kmers(self, kmers: np.ndarray) -> np.ndarray:
         """Distinct seed ids for the k-mers present in the seed set
@@ -179,28 +181,40 @@ class SeedIndex:
     def add_sequence(self, seq: SeedSequence):
         self.sequences.append(seq)
         self._membership = None
+        self._seed_counts = None
 
     def index_sequences(self):
-        """Build the seed->chunk membership matrix [num_seeds, num_chunks]
-        (the bit-matrix replacing per-seed IntSets,
-        ref: seeds/seeds.go:292-305)."""
+        """Build per-seed chunk counts (and the dense membership matrix for
+        small indexes; large indexes use the hashed device path in
+        ``ops.match``) (ref: seeds/seeds.go:292-305)."""
         S = self.num_seeds
         C = len(self.sequences)
-        mem = np.zeros((S, C), dtype=bool)
-        for ci, s in enumerate(self.sequences):
-            mem[s.seeds, ci] = True
-        self._membership = mem
-        self._seed_counts = mem.sum(axis=1)
+        counts = np.zeros(S, dtype=np.int64)
+        for s in self.sequences:
+            if s.seeds.size:
+                counts += np.bincount(np.unique(s.seeds), minlength=S)
+        self._seed_counts = counts
+        self._membership = None
+        if S * max(C, 1) <= 200_000_000:
+            mem = np.zeros((S, C), dtype=bool)
+            for ci, s in enumerate(self.sequences):
+                mem[s.seeds, ci] = True
+            self._membership = mem
 
     @property
     def membership(self) -> np.ndarray:
-        if self._membership is None:
+        if self._seed_counts is None or (self._membership is None
+                                         and self.sequences):
             self.index_sequences()
+        if self._membership is None:
+            raise MemoryError("index too large for a dense membership "
+                              "matrix; use the hashed device path "
+                              "(ops.match.build_membership)")
         return self._membership
 
     def seed_count(self, seed: int) -> int:
         """Number of indexed chunks containing the seed."""
-        if self._membership is None:
+        if self._seed_counts is None:
             self.index_sequences()
         return int(self._seed_counts[seed])
 
@@ -213,13 +227,14 @@ class SeedIndex:
     def remove_sequences(self):
         self.sequences = []
         self._membership = None
+        self._seed_counts = None
 
     def query_seed_multiplicity(self, query: SeedSequence) -> np.ndarray:
         """Per-seed multiplicity vector for a query, counting runs of each
         seed with consecutive duplicates removed and unusable seeds dropped,
         mirroring the seed-set list built by Matches
         (ref: seeds/seeds.go:335-353)."""
-        if self._membership is None:
+        if self._seed_counts is None:
             self.index_sequences()
         v = np.zeros(self.num_seeds, dtype=np.int32)
         max_seqs = len(self.sequences)

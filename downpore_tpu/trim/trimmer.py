@@ -1,0 +1,574 @@
+"""Adapter trimming, demultiplexing and read splitting, batched on TPU.
+
+The pipeline mirrors the reference trimmer's three stages
+(ref: trim/trim.go):
+
+1. *Edge pass* — the first/last 150 bases of every read are matched against
+   all adapters.  Reference: per-read goroutines doing kmer-set popcounts
+   and greedy chains (trim/trim.go:451-513).  Here: one int8 matmul on the
+   MXU computes kmer-hit counts for all (edge, adapter) pairs at once, and
+   surviving pairs go through the batched chain DP.
+2. *Middle pass* — read interiors are chunked into the seed index and each
+   adapter queried against it to find reads that must be split or cropped
+   (trim/trim.go:515-591).
+3. *Bookkeeping* — trims/ignores/splits are recorded on the SequenceSet and
+   applied on re-read; splits become extra sequences.
+
+Decision logic (thresholds, barcode precedence, +-5%% ambiguity, pair
+requirements) follows the reference exactly; divergences: the chain DP
+finds optimal chains where the reference's greedy walk may return shorter
+ones, and consecutive-duplicate seeds are not dropped before chaining.
+"""
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.sequence import Sequence
+from ..seeds import SeedIndex
+from ..ops import match as match_ops
+from ..ops.chain import run_chain_batch
+
+EDGE_SIZE = 150          # bases searched for edge adapters (trim.go:453)
+LONGEST_ADAPTER = 100    # padding around adapters mid-read (trim.go:153)
+MIN_SPLIT_SEQ = 500      # splits must leave this many bases (trim.go:517)
+MIN_CHUNK_SEEDS = 4      # chunks with fewer seeds are not indexed
+REINDEX_SEEDS = 300_000_000
+
+
+def _int_div(a: int, b: int) -> int:
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+class _EdgeResult:
+    __slots__ = ("earliest", "latest", "found", "best_match")
+
+    def __init__(self, earliest, latest, found, best_match):
+        self.earliest = earliest
+        self.latest = latest
+        self.found = found
+        self.best_match = best_match
+
+
+class Trimmer:
+    def __init__(self, front_adapters: List[Sequence],
+                 back_adapters: List[Sequence], k: int = 6,
+                 verbosity: int = 1):
+        self.k = k
+        self.verbosity = verbosity
+        self.original_front = list(front_adapters)
+        self.original_back = list(back_adapters)
+        self._setup_index()
+        self.set_trim_params(85, 5, 50, 1000, False, True, False)
+        self.no_count = 0
+        self.seen_count = 0
+
+    # ------------------------------------------------------------------
+    def _setup_index(self):
+        """Build the adapter seed index (ref: trim/trim.go:57-99)."""
+        self.index = SeedIndex(self.k)
+        self.front_adapters = []
+        self.back_adapters = []
+        self.front_sets: List[np.ndarray] = []   # distinct seed ids
+        self.back_sets: List[np.ndarray] = []
+        for s in self.original_front:
+            self.front_adapters.append(self.index.new_all_seed_sequence(s))
+        for s in self.original_back:
+            self.back_adapters.append(self.index.new_all_seed_sequence(s))
+        # adapter k-mer seed sets use collapsed kmers (trim.go:67)
+        for s in self.original_front:
+            self.front_sets.append(
+                self.index.get_seeds_from_kmers(s.short_kmers(self.k, True)))
+        for s in self.original_back:
+            self.back_sets.append(
+                self.index.get_seeds_from_kmers(s.short_kmers(self.k, True)))
+        self.front_counts = [0] * len(self.original_front)
+        self.back_counts = [0] * len(self.original_back)
+        # name-based front/back pairing (trim.go:80-98)
+        pair_id = 1
+        self.pairs_front = [-1] * len(self.original_front)
+        self.pairs_back = [-1] * len(self.original_back)
+        for i, a in enumerate(self.original_front):
+            name = a.get_name()
+            for j, b in enumerate(self.original_back):
+                if self.pairs_back[j] == -1 and b.get_name() == name:
+                    self.pairs_front[i] = pair_id
+                    self.pairs_back[j] = pair_id
+                    pair_id += 1
+                    break
+        self._adapter_mats = None
+
+    def set_trim_params(self, mid_threshold: int, extra_edge_trim: int,
+                        extra_mid_trim: int, chunk_size: int,
+                        keep_splits: bool, tag_adapters: bool,
+                        require_pairs: bool):
+        self.mid_threshold = mid_threshold
+        self.extra_edge_trim = extra_edge_trim
+        self.extra_mid_trim = extra_mid_trim
+        self.chunk_size = chunk_size
+        self.keep_splits = keep_splits
+        self.tag_adapters = tag_adapters
+        self.require_pairs = require_pairs
+
+    def set_verbosity(self, level: int):
+        self.verbosity = level
+
+    def _log(self, *args, level=1):
+        if self.verbosity >= level:
+            print(*args, file=sys.stderr)
+
+    # -- adapter matrices for the MXU gate ------------------------------
+    def _matrices(self):
+        if self._adapter_mats is None:
+            S = self.index.num_seeds
+            F = np.zeros((S, len(self.front_sets)), dtype=np.int8)
+            for i, st in enumerate(self.front_sets):
+                F[st, i] = 1
+            B = np.zeros((S, len(self.back_sets)), dtype=np.int8)
+            for i, st in enumerate(self.back_sets):
+                B[st, i] = 1
+            self._adapter_mats = (F, B)
+        return self._adapter_mats
+
+    # -- edge matching ---------------------------------------------------
+    def _edge_data(self, edges: List[Sequence]):
+        """Per edge: distinct-seed multi-hot row + the edge's (seed,
+        position) vectors for chaining."""
+        S = self.index.num_seeds
+        n = len(edges)
+        E = np.zeros((n, S), dtype=np.int8)
+        seed_lists = []
+        pos_lists = []
+        kmer_sets = []
+        for i, e in enumerate(edges):
+            kset = self.index.get_seeds_from_kmers(e.short_kmers(self.k, True))
+            kmer_sets.append(kset)
+            E[i, kset] = 1
+            ss = self.index.new_seed_sequence(e)
+            seed_lists.append(ss.seeds)
+            pos_lists.append(ss.seed_positions(self.k).astype(np.int32))
+        return E, seed_lists, pos_lists, kmer_sets
+
+    def _match_edges(self, edges: List[Sequence], adapters, adapter_sets,
+                     counts, min_match: int = 3,
+                     collect_identity_only: bool = False):
+        """Batched findMatches (ref: trim/trim.go:354-428).  Returns per
+        edge an ``_EdgeResult`` plus per-(edge, adapter) identities."""
+        n = len(edges)
+        E, seed_lists, pos_lists, kmer_sets = self._edge_data(edges)
+        F_all, B_all = self._matrices()
+        A = F_all if adapters is self.front_adapters else B_all
+        hits = np.asarray(match_ops.hit_counts(E, A))  # [n, Nad]
+        aset_sizes = np.array([max(1, len(s)) for s in adapter_sets])
+        gate = ((hits * 10) // aset_sizes >= 2) | (hits >= 3)
+
+        pairs = np.argwhere(gate)
+        per_edge_adapter_ident = {}
+        results = [
+            _EdgeResult(len(edges[i]) if i < n else EDGE_SIZE, 0, False, 0)
+            for i in range(n)]
+        if pairs.shape[0] == 0:
+            return results, per_edge_adapter_ident
+        qs_l, qp_l, ts_l, tp_l = [], [], [], []
+        for ei, ai in pairs:
+            ad = adapters[ai]
+            # mutual reduction by seed membership (no consecutive dedup)
+            amask = np.zeros(self.index.num_seeds, dtype=bool)
+            amask[adapter_sets[ai]] = True
+            emask = np.zeros(self.index.num_seeds, dtype=bool)
+            emask[kmer_sets[ei]] = True
+            akeep = emask[ad.seeds]
+            apos = ad.seed_positions(self.k).astype(np.int32)
+            tkeep = amask[seed_lists[ei]]
+            qs_l.append(ad.seeds[akeep])
+            qp_l.append(apos[akeep])
+            ts_l.append(seed_lists[ei][tkeep])
+            tp_l.append(pos_lists[ei][tkeep])
+        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
+                              nq=64, nt=96, max_anchors=128)
+        through = out["through"]
+        valid = out["valid"]
+        f = out["f"]
+
+        # per-edge aggregation following findMatches' in-order walk
+        edge_state = {}
+        for pi, (ei, ai) in enumerate(pairs):
+            ei, ai = int(ei), int(ai)
+            ad = adapters[ai]
+            alen = ad.length
+            best = int(through[pi].max(initial=0))
+            if best < min_match:
+                continue
+            thr = max(min_match, (best * 2) // 3)
+            good = valid[pi] & (through[pi] >= thr)
+            if not good.any():
+                continue
+            cov = out["cov_q"][pi]
+            identity = _int_div(int(cov[good].max()) * 100, alen)
+            per_edge_adapter_ident[(ei, ai)] = identity
+            starts = out["start_tp"][pi][good] + out["start_qp"][pi][good]
+            ends = out["end_tp"][pi][good] + \
+                (alen - out["end_qp"][pi][good] - self.k)
+            st = edge_state.setdefault(
+                ei, {"earliest": len(edges[ei]), "latest": 0, "found": False,
+                     "best_ident": 0, "best_match": 0, "barcoded": False,
+                     "ambiguous": False})
+            # chain count for stats: distinct chain starts among good anchors
+            n_chains = max(1, len(np.unique(
+                out["start_tp"][pi][good] * 100000 + out["start_qp"][pi][good])))
+            counts[ai] += n_chains
+            is_barcode = ad.get_name().startswith("Barcode")
+            if not st["barcoded"] and is_barcode:
+                st["barcoded"] = True
+                st["best_ident"] = identity
+                st["best_match"] = ai
+            elif st["barcoded"]:
+                if is_barcode:
+                    delta = identity - st["best_ident"]
+                    st["ambiguous"] = -5 < delta < 5
+                    if identity > st["best_ident"]:
+                        st["best_ident"] = identity
+                        st["best_match"] = ai
+            elif identity > st["best_ident"]:
+                st["best_ident"] = identity
+                st["best_match"] = ai
+            start = max(0, int(starts.min()))
+            end = min(len(edges[ei]), int(ends.max()))
+            st["earliest"] = min(st["earliest"], start)
+            st["latest"] = max(st["latest"], end)
+            st["found"] = True
+        for ei, st in edge_state.items():
+            if st["ambiguous"]:
+                # trim, but pretend no adapter was seen (trim.go:423-426)
+                results[ei] = _EdgeResult(st["earliest"], st["latest"],
+                                          False, 0)
+            else:
+                results[ei] = _EdgeResult(st["earliest"], st["latest"],
+                                          st["found"], st["best_match"])
+        return results, per_edge_adapter_ident
+
+    # -- DetermineAdapters ----------------------------------------------
+    def determine_adapters(self, seqs, num_reads: int, threshold: int,
+                           batch_size: int = 512):
+        """Keep only adapters with a high-identity full match in the first
+        ``num_reads`` reads (ref: trim/trim.go:272-324)."""
+        front_enabled = [False] * len(self.front_adapters)
+        back_enabled = [False] * len(self.back_adapters)
+        batch: List[Sequence] = []
+
+        def process(batch):
+            fronts = [s.subsequence(0, EDGE_SIZE) for s in batch]
+            backs = [s.subsequence(len(s) - EDGE_SIZE, len(s)) for s in batch]
+            self._check_full_match(fronts, self.front_adapters,
+                                   self.front_sets, threshold, front_enabled)
+            self._check_full_match(backs, self.back_adapters,
+                                   self.back_sets, threshold, back_enabled)
+
+        for seq in seqs.get_n_sequences_from(0, num_reads):
+            if len(seq) < EDGE_SIZE + 50:
+                continue
+            batch.append(seq)
+            if len(batch) >= batch_size:
+                process(batch)
+                batch = []
+        if batch:
+            process(batch)
+        kept_f = [a for a, en in zip(self.original_front, front_enabled) if en]
+        kept_b = [a for a, en in zip(self.original_back, back_enabled) if en]
+        self._log(f"{len(kept_f)} / {len(front_enabled)} front adapters "
+                  "identified with high identity matches.")
+        for a in kept_f:
+            self._log(" -", a.get_name())
+        self._log(f"{len(kept_b)} / {len(back_enabled)} back adapters "
+                  "identified with high identity matches.")
+        for a in kept_b:
+            self._log(" -", a.get_name())
+        self.original_front = kept_f
+        self.original_back = kept_b
+        self._setup_index()
+
+    def _check_full_match(self, edges, adapters, adapter_sets, threshold,
+                          enabled):
+        """Batched isNewFullMatch (ref: trim/trim.go:326-352)."""
+        E, seed_lists, pos_lists, kmer_sets = self._edge_data(edges)
+        F_all, B_all = self._matrices()
+        A = F_all if adapters is self.front_adapters else B_all
+        hits = np.asarray(match_ops.hit_counts(E, A))
+        qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
+        for ei in range(len(edges)):
+            for ai in range(len(adapters)):
+                if enabled[ai]:
+                    continue
+                min_hits = len(adapter_sets[ai]) // 2
+                if hits[ei, ai] < min_hits:
+                    continue
+                ad = adapters[ai]
+                amask = np.zeros(self.index.num_seeds, dtype=bool)
+                amask[adapter_sets[ai]] = True
+                emask = np.zeros(self.index.num_seeds, dtype=bool)
+                emask[kmer_sets[ei]] = True
+                akeep = emask[ad.seeds]
+                apos = ad.seed_positions(self.k).astype(np.int32)
+                tkeep = amask[seed_lists[ei]]
+                qs_l.append(ad.seeds[akeep])
+                qp_l.append(apos[akeep])
+                ts_l.append(seed_lists[ei][tkeep])
+                tp_l.append(pos_lists[ei][tkeep])
+                metas.append((ei, ai, min_hits))
+        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
+                              nq=64, nt=96, max_anchors=128)
+        if out is None:
+            return
+        for pi, (ei, ai, min_hits) in enumerate(metas):
+            best = int(out["through"][pi].max(initial=0))
+            if best < max(1, min_hits):
+                continue
+            good = out["valid"][pi] & (out["through"][pi] >= best)
+            cov = int(out["cov_q"][pi][good].max())
+            if _int_div(cov * 100, adapters[ai].length) >= threshold:
+                enabled[ai] = True
+
+    # -- Trim -------------------------------------------------------------
+    def trim(self, seqs, batch_size: int = 512):
+        """Edge pass + middle pass over all reads
+        (ref: trim/trim.go:136-257)."""
+        self._log("Trimming ends and indexing all sequences against",
+                  len(self.front_adapters), "adapters...")
+        batch: List[Sequence] = []
+        for seq in seqs.get_sequences():
+            batch.append(seq)
+            if len(batch) >= batch_size:
+                self._trim_edge_batch(seqs, batch)
+                batch = []
+        if batch:
+            self._trim_edge_batch(seqs, batch)
+
+        # middle pass: chunk interiors into the index and split
+        self._middle_pass(seqs)
+
+    def _trim_edge_batch(self, seqs, batch: List[Sequence]):
+        """Batched trimWorker (ref: trim/trim.go:451-513)."""
+        usable = [s for s in batch if len(s) >= EDGE_SIZE + 50]
+        self.seen_count += len(batch)
+        fronts = [s.subsequence(0, EDGE_SIZE) for s in usable]
+        backs = [s.subsequence(len(s) - EDGE_SIZE, len(s)) for s in usable]
+        fres, _ = self._match_edges(fronts, self.front_adapters,
+                                    self.front_sets, self.front_counts)
+        bres, _ = self._match_edges(backs, self.back_adapters,
+                                    self.back_sets, self.back_counts)
+        for i, seq in enumerate(usable):
+            fr, br = fres[i], bres[i]
+            found_start, match_index = fr.found, fr.best_match
+            found_end, back_match_index = br.found, br.best_match
+            if self.require_pairs:
+                fpair = self.pairs_front[match_index] if found_start else -1
+                bpair = self.pairs_back[back_match_index] if found_end else -1
+                if fpair != bpair:
+                    found_start = False
+                    found_end = False
+            if not found_start:
+                self.no_count += 1
+            start = fr.latest + self.extra_edge_trim
+            end = EDGE_SIZE - br.earliest + self.extra_edge_trim
+            rid = seq.id
+            if start + end + 10 >= len(seq):
+                seqs.set_ignore(rid, True)
+                continue
+            if found_start:
+                seqs.set_front_trim(rid, start)
+                if self.tag_adapters:
+                    seqs.set_name(rid, self.front_adapters[match_index]
+                                  .get_name() + "_" + seqs.get_name(rid))
+            elif end > start and start > 0:
+                seqs.set_front_trim(rid, start)
+            if found_end or (end > start and end < len(seq)):
+                seqs.set_back_trim(rid, end)
+
+    # -- middle pass -------------------------------------------------------
+    def _middle_pass(self, seqs):
+        """Chunk read interiors into the index, search every front adapter
+        for read-splitting matches (ref: trim/trim.go:151-257)."""
+        splits = {}
+        total_count = 0
+        total_bases = 0
+        for seq in seqs.get_sequences():
+            n = len(seq)
+            i = EDGE_SIZE
+            total_bases += max(0, n - 2 * EDGE_SIZE)
+            while i < n - EDGE_SIZE - LONGEST_ADAPTER:
+                if i > n - (self.chunk_size * 3) // 2 - EDGE_SIZE:
+                    ss = self.index.new_seed_sequence(
+                        seq.subsequence(i, n - EDGE_SIZE))
+                    total_count += ss.num_seeds
+                    self.index.add_sequence(ss)
+                    break
+                end_point = min(i + self.chunk_size, n - EDGE_SIZE)
+                ss = self.index.new_seed_sequence(seq.subsequence(i, end_point))
+                total_count += ss.num_seeds
+                if ss.num_seeds >= MIN_CHUNK_SEEDS:
+                    self.index.add_sequence(ss)
+                i += self.chunk_size - LONGEST_ADAPTER
+            if total_count > REINDEX_SEEDS:
+                self._find_splits(seqs, splits, total_bases)
+                total_count = 0
+                total_bases = 0
+                self._setup_index()
+        if total_count > 0:
+            self._find_splits(seqs, splits, total_bases)
+        self._log(len(splits), "sequences require splitting")
+        self._apply_splits(seqs, splits)
+
+    def _find_splits(self, seqs, splits, total_bases):
+        """Batched findSplit over all front adapters
+        (ref: trim/trim.go:515-591)."""
+        self.index.index_sequences()
+        self._log("Searching", total_bases // 1_000_000,
+                  "MB of sequences for splitting based on",
+                  len(self.front_adapters), "adapters")
+        if self.index.num_sequences == 0:
+            return
+        usable = self.index._seed_counts < self.index.num_sequences
+        V, num_sets = match_ops.build_query_matrix(
+            self.front_adapters, self.index.num_seeds, usable)
+        counts = np.asarray(match_ops.hit_counts(
+            V, self.index.membership.astype(np.int8)))
+        cands = match_ops.candidates_from_counts(counts, num_sets, 0.2)
+        qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
+        for ai, cand in enumerate(cands):
+            ad = self.front_adapters[ai]
+            apos = ad.seed_positions(self.k).astype(np.int32)
+            amask = np.zeros(self.index.num_seeds, dtype=bool)
+            amask[self.front_sets[ai]] = True
+            for ci in cand:
+                chunk = self.index.sequences[ci]
+                cmask = np.zeros(self.index.num_seeds, dtype=bool)
+                cmask[chunk.seeds] = True
+                akeep = cmask[ad.seeds]
+                tkeep = amask[chunk.seeds]
+                qs_l.append(ad.seeds[akeep])
+                qp_l.append(apos[akeep])
+                ts_l.append(chunk.seeds[tkeep])
+                tp_l.append(chunk.seed_positions(self.k).astype(np.int32)[tkeep])
+                metas.append((ai, int(ci)))
+        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
+                              nq=64, nt=128, max_anchors=192)
+        if out is None:
+            return
+        for pi, (ai, ci) in enumerate(metas):
+            ad = self.front_adapters[ai]
+            min_match = max(1, ad.num_seeds // 5)
+            best = int(out["through"][pi].max(initial=0))
+            if best < min_match:
+                continue
+            thr = max(min_match, (best * 2) // 3)
+            good = out["valid"][pi] & (out["through"][pi] >= thr)
+            if not good.any():
+                continue
+            chunk = self.index.sequences[ci]
+            # one "match" per distinct chain start among good anchors
+            sq = out["start_qp"][pi][good]
+            stp = out["start_tp"][pi][good]
+            cov = out["cov_q"][pi][good]
+            starts = {}
+            for j in range(len(sq)):
+                key = (int(sq[j]), int(stp[j]))
+                starts[key] = max(starts.get(key, 0), int(cov[j]))
+            for (sqp, stpp), best_cov in starts.items():
+                identity = _int_div(best_cov * 100, ad.length)
+                if identity < self.mid_threshold:
+                    continue
+                self._record_split(seqs, splits, ad, chunk, stpp - sqp)
+
+    def _record_split(self, seqs, splits, ad, chunk, chunk_start):
+        """Split/crop bookkeeping for one adapter match
+        (ref: trim/trim.go:530-585)."""
+        rid = chunk.id
+        front_trim = seqs.get_front_trim(rid)
+        back_trim = seqs.get_back_trim(rid)
+        start = chunk.offset + chunk_start
+        seq_len = chunk.offset + chunk.length + chunk.inset - back_trim
+        if start < MIN_SPLIT_SEQ + front_trim:
+            # crop the front off
+            new_trim = start + ad.length + self.extra_mid_trim
+            if new_trim + MIN_SPLIT_SEQ < seq_len:
+                if new_trim > front_trim:
+                    seqs.set_front_trim(rid, new_trim)
+                    if rid in splits:
+                        splits[rid][0] -= new_trim - front_trim
+                        splits[rid][1] -= new_trim - front_trim
+                if self.tag_adapters:
+                    seqs.set_name(rid, ad.get_name() + "_" + seqs.get_name(rid))
+            else:
+                splits.pop(rid, None)
+                seqs.set_ignore(rid, True)
+        elif start + MIN_SPLIT_SEQ + ad.length > seq_len:
+            new_trim = seq_len - start + self.extra_mid_trim
+            if new_trim > back_trim:
+                seqs.set_back_trim(rid, new_trim)
+        else:
+            a_end = start - self.extra_mid_trim - front_trim
+            b_start = start + ad.length + self.extra_mid_trim - front_trim
+            if rid in splits:
+                splits[rid][0] = min(splits[rid][0], a_end)
+                splits[rid][1] = max(splits[rid][1], b_start)
+            else:
+                splits[rid] = [a_end, b_start]
+
+    def _apply_splits(self, seqs, splits):
+        """Materialize splits as extra sequences (ref: trim/trim.go:221-257)."""
+        if not splits:
+            return
+        ids = sorted(splits.keys())
+        by_id = {}
+        for s in seqs.get_sequences_by_id(ids):
+            by_id[s.id] = s
+        for rid in ids:
+            a_end, b_start = splits[rid]
+            seq = by_id.get(rid)
+            if seq is None:
+                continue
+            if self.keep_splits:
+                if a_end > EDGE_SIZE:
+                    seqs.add_sequence(seq.subsequence(0, a_end),
+                                      seqs.get_name(rid) + "_(left)")
+                if len(seq) - b_start > EDGE_SIZE:
+                    seqs.add_sequence(seq.subsequence(b_start, len(seq)),
+                                      seqs.get_name(rid) + "_(right)")
+            seqs.set_ignore(rid, True)
+
+    # ------------------------------------------------------------------
+    def print_stats(self):
+        """Adapter incidence summary (ref: trim/trim.go:260-268)."""
+        seen = max(1, self.seen_count)
+        for i, count in enumerate(self.front_counts):
+            self._log("Front adapter:",
+                      self.original_front[i].get_name(), "\t",
+                      (count * 100) // seen, "%")
+        for i, count in enumerate(self.back_counts):
+            self._log("Back adapter:",
+                      self.original_back[i].get_name(), "\t",
+                      (count * 100) // seen, "%")
+        self._log((self.no_count * 100) // seen, "% with no adapters found.")
+
+
+def load_trimmer(front_path: Optional[str], back_path: Optional[str],
+                 k: int = 6, verbosity: int = 1) -> Trimmer:
+    """Create a Trimmer from adapter fasta files, or the bundled ONT
+    adapter set when paths are empty (ref: trim/trim.go:102-116)."""
+    from ..io import SequenceSet
+
+    def load(path, bundled):
+        if path:
+            ss = SequenceSet(path)
+            return [Sequence(s.codes, id=i, name=s.name)
+                    for i, s in enumerate(ss.get_sequences())]
+        return [Sequence.from_string(seq, id=i, name=name)
+                for i, (name, seq) in enumerate(bundled)]
+
+    from ..data import FRONT_ADAPTERS, BACK_ADAPTERS
+    fronts = load(front_path, FRONT_ADAPTERS)
+    backs = load(back_path, BACK_ADAPTERS)
+    return Trimmer(fronts, backs, k, verbosity)

@@ -1,0 +1,148 @@
+"""K-mer statistics and seed-value scoring.
+
+The reference counts k-mers with parallel dense counters merged at the end
+(ref: util/sequtil/kmers.go:34-69); here counting is a numpy bincount per
+read batch (a device ``jnp.bincount`` + ``psum`` shard path lives in
+``downpore_tpu.parallel`` for multi-host runs).  Seed value scoring is the
+shared logic of the map and overlap commands
+(ref: commands/map.go:45-71, commands/overlap.go:39-94).
+"""
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import numpy as np
+
+from ..core.sequence import Sequence, kmer_value, rolling_kmers
+
+
+def kmer_occurrences(seqs: Iterable[Sequence], k: int) -> np.ndarray:
+    """Dense k-mer counts over all sequences (uint64[4**k])."""
+    size = 4 ** k
+    counts = np.zeros(size, dtype=np.uint64)
+    for seq in seqs:
+        ks = seq.kmers(k)
+        if ks.size:
+            counts += np.bincount(ks, minlength=size).astype(np.uint64)
+    return counts
+
+
+def top_occurrences(counts: np.ndarray, k: int, top_n: int,
+                    bottom_n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(bottom_ids, top_ids) after merging forward/RC counts, mirroring
+    TopOccurrences (ref: util/sequtil/kmers.go:87-112).  The bottom list
+    starts at the first non-zero merged count."""
+    merged = counts.astype(np.uint64).copy()
+    rc = _rc_table(k)
+    merged = merged + merged[rc]
+    order = np.argsort(merged, kind="stable")
+    svals = merged[order]
+    start = int(np.searchsorted(svals, 1))  # first non-zero
+    if start > len(merged) - bottom_n:
+        start = len(merged) - bottom_n
+    bottoms = order[start : start + bottom_n]
+    tops = order[len(order) - top_n:]
+    return bottoms, tops
+
+
+_RC_TABLES = {}
+
+
+def _rc_table(k: int) -> np.ndarray:
+    """kmer -> reverse-complement kmer lookup, built by dynamic doubling."""
+    if k in _RC_TABLES:
+        return _RC_TABLES[k]
+    if k == 1:
+        t = np.array([3, 2, 1, 0], dtype=np.int64)
+    else:
+        prev = _rc_table(k - 1)
+        base = _rc_table(1)
+        n = 4 ** (k - 1)
+        hi = np.repeat(np.arange(4, dtype=np.int64), n)   # leading base
+        lo = np.tile(np.arange(n, dtype=np.int64), 4)     # trailing k-1
+        t = prev[lo] * 4 + base[hi]
+    _RC_TABLES[k] = t
+    return t
+
+
+def default_kmer_values(counts: np.ndarray,
+                        target_freq: float = 0.000005) -> np.ndarray:
+    """Frequency-targeted seed values: prefer k-mers near ~1:200000
+    frequency, zero rare (<3) k-mers (ref: commands/map.go:52-63)."""
+    counts = counts.astype(np.float64)
+    tot = counts.sum()
+    freq = counts / max(tot, 1.0)
+    values = np.where(freq <= target_freq,
+                      1.0 - (target_freq - freq),
+                      1.0 - (freq - target_freq))
+    values[counts < 3] = 0.0
+    return values
+
+
+def score_seed_values(counts: np.ndarray, k: int,
+                      seed_values_file: str = "") -> np.ndarray:
+    """The full getKmerValues flow: default or file-loaded values, zero the
+    merged-count top 1%% and k-mer 0 (ref: commands/overlap.go:39-94,
+    commands/map.go:66-71)."""
+    if seed_values_file:
+        file_k, values = load_kmer_values(seed_values_file)
+        if file_k != k:
+            raise ValueError(f"Seed values k of {file_k} does not match "
+                             f"target k of {k}")
+        values = values.copy()
+        values[counts < 3] = 0.0
+    else:
+        values = default_kmer_values(counts)
+    _, top = top_occurrences(counts, k, len(counts) // 100,
+                             len(counts) // 50)
+    values[top] = 0.0
+    values[0] = 0.0
+    return values
+
+
+def load_kmer_values(filename: str) -> Tuple[int, np.ndarray]:
+    """Seed-value files: 'KMER value' lines; shift-periodic k-mers zeroed
+    (ref: util/sequtil/kmerlist.go:14-47)."""
+    k = 0
+    values = None
+    with open(filename) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            tokens = line.split(" ")
+            if k == 0:
+                k = len(tokens[0])
+                values = np.zeros(4 ** k, dtype=np.float64)
+            v = kmer_value(tokens[0])
+            values[v] = float(tokens[1])
+            if (tokens[0][1:] == tokens[0][:-1]
+                    or tokens[0][2:] == tokens[0][:-2]):
+                values[v] = 0.0
+    return k, values
+
+
+def load_confusion_matrix(filename: str) -> Tuple[np.ndarray, int]:
+    """K-mer confusion matrices: 'KMER cost KMER cost KMER ...' lines
+    (ref: util/sequtil/confusion.go:12-59)."""
+    matrix = None
+    k = 0
+    with open(filename) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            tokens = line.split(" ")
+            if len(tokens) < 3:
+                continue
+            if k == 0:
+                k = len(tokens[0])
+                n = 4 ** k
+                matrix = np.full((n, n), 15, dtype=np.uint8)
+                np.fill_diagonal(matrix, 0)
+            from_kmer = kmer_value(tokens[0])
+            for i in range(1, len(tokens) - 1, 2):
+                cost = int(tokens[i])
+                kmer = kmer_value(tokens[i + 1])
+                if cost == 0 or cost > 15:
+                    cost = 15
+                matrix[from_kmer][kmer] = cost
+    return matrix, k

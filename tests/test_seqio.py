@@ -1,0 +1,174 @@
+"""SequenceSet streaming I/O tests (trims, ignore, extras, gzip, demux)."""
+import gzip
+import io
+import os
+
+import numpy as np
+import pytest
+
+from downpore_tpu.io import SequenceSet
+
+FASTA = """>read1
+ACGTACGTACGTACGTACGT
+>read2 with description
+TTTTGGGGCCCCAAAATTTT
+>short
+ACG
+>read3
+ACGTGTGTACATACGGATTA
+"""
+
+FASTQ = """@r1
+ACGTACGTAC
++
+IIIIIIIIII
+@r2
+TTTTGGGGCC
++
+!!!!!!!!!!
+"""
+
+
+@pytest.fixture
+def fasta_file(tmp_path):
+    p = tmp_path / "t.fasta"
+    p.write_text(FASTA)
+    return str(p)
+
+
+@pytest.fixture
+def fastq_file(tmp_path):
+    p = tmp_path / "t.fastq"
+    p.write_text(FASTQ)
+    return str(p)
+
+
+def test_read_fasta(fasta_file):
+    ss = SequenceSet(fasta_file)
+    seqs = list(ss.get_sequences())
+    assert [str(s) for s in seqs] == [
+        "ACGTACGTACGTACGTACGT", "TTTTGGGGCCCCAAAATTTT", "ACG",
+        "ACGTGTGTACATACGGATTA"]
+    assert ss.get_name(0) == "read1"
+    assert ss.get_name(1) == "read2 with description"
+    assert ss.size == 4
+    assert ss.get_bases() == 63
+
+
+def test_min_length_filter(fasta_file):
+    ss = SequenceSet(fasta_file, min_length=10)
+    assert [str(s) for s in ss.get_sequences()] == [
+        "ACGTACGTACGTACGTACGT", "TTTTGGGGCCCCAAAATTTT", "ACGTGTGTACATACGGATTA"]
+
+
+def test_multiline_fasta(tmp_path):
+    p = tmp_path / "ml.fasta"
+    p.write_text(">chr1\nACGTACGTAC\nGTACGTACGT\nACGT\n>chr2\nTTTT\n")
+    ss = SequenceSet(str(p))
+    seqs = list(ss.get_sequences())
+    assert str(seqs[0]) == "ACGTACGTACGTACGTACGTACGT"
+    assert str(seqs[1]) == "TTTT"
+
+
+def test_trims_applied_on_reread(fasta_file):
+    ss = SequenceSet(fasta_file)
+    list(ss.get_sequences())
+    ss.set_front_trim(0, 4)
+    ss.set_back_trim(0, 8)
+    ss.set_ignore(2, True)
+    seqs = list(ss.get_sequences())
+    assert str(seqs[0]) == "ACGTACGT"
+    assert seqs[0].offset == 4 and seqs[0].inset == 8
+    assert [s.id for s in seqs] == [0, 1, 3]
+    assert ss.get_length(0) == 8
+    # increasing a trim re-applies relative to the original read
+    ss.set_front_trim(0, 6)
+    seqs = list(ss.get_sequences())
+    assert str(seqs[0]) == "GTACGT"
+
+
+def test_fastq_quality(fastq_file):
+    ss = SequenceSet(fastq_file)
+    seqs = list(ss.get_sequences())
+    assert ss.is_fastq
+    assert np.all(seqs[0].quality == ord("I") - 33)
+    assert np.all(seqs[1].quality == 0)
+    assert ss.get_median_quality(0) == ord("I") - 33
+
+
+def test_fastq_trim_quality(fastq_file):
+    ss = SequenceSet(fastq_file)
+    ss._build_index()
+    ss.set_front_trim(0, 2)
+    seqs = list(ss.get_sequences())
+    assert len(seqs[0].quality) == 8
+
+
+def test_gzip_input(tmp_path):
+    p = tmp_path / "t.fasta.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(FASTA)
+    ss = SequenceSet(str(p))
+    assert [str(s) for s in ss.get_sequences()][0] == "ACGTACGTACGTACGTACGT"
+
+
+def test_extras_appear_after_file(fasta_file):
+    from downpore_tpu.core import Sequence
+    ss = SequenceSet(fasta_file)
+    list(ss.get_sequences())
+    ss.add_sequence(Sequence.from_string("GGGG"), "extra1")
+    seqs = list(ss.get_sequences())
+    assert str(seqs[-1]) == "GGGG"
+    assert seqs[-1].id == 4
+    assert ss.get_name(4) == "extra1"
+    # split semantics: ignore original, keep halves
+    ss.set_ignore(4, True)
+    assert len(list(ss.get_sequences())) == 4
+
+
+def test_write_roundtrip(fasta_file):
+    ss = SequenceSet(fasta_file)
+    ss._build_index()
+    ss.set_front_trim(0, 4)
+    out = io.StringIO()
+    ss.write(out)
+    lines = out.getvalue().splitlines()
+    assert lines[0] == ">read1"
+    assert lines[1] == "ACGTACGTACGTACGTACGT"[4:]
+
+
+def test_fastq_write_roundtrip(fastq_file):
+    ss = SequenceSet(fastq_file)
+    out = io.StringIO()
+    ss.write(out)
+    assert out.getvalue() == FASTQ
+
+
+def test_get_ids_by_length(fasta_file):
+    ss = SequenceSet(fasta_file)
+    ids, lengths = ss.get_ids_by_length()
+    assert lengths == sorted(lengths)
+    assert ids[0] == 2  # the 3-base read
+
+
+def test_get_sequences_by_id(fasta_file):
+    ss = SequenceSet(fasta_file)
+    ss._build_index()
+    got = [s.id for s in ss.get_sequences_by_id([1, 3])]
+    assert got == [1, 3]
+    # ignore state restored
+    assert [s.id for s in ss.get_sequences()] == [0, 1, 2, 3]
+
+
+def test_demultiplex(tmp_path, fasta_file):
+    ss = SequenceSet(fasta_file)
+    ss._build_index()
+    ss.set_name(0, "Barcode01_read1")
+    ss.set_name(2, "Barcode02_short")
+    out = tmp_path / "demux"
+    out.mkdir()
+    ss.demultiplex(str(out))
+    files = sorted(os.listdir(out))
+    assert files == ["Barcode01.fasta", "Barcode02.fasta"]
+    content = (out / "Barcode01.fasta").read_text()
+    assert content == ">read1\nACGTACGTACGTACGTACGT\n"
