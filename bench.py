@@ -1,0 +1,106 @@
+"""Benchmark: adapter-trimming throughput (reads/s) on synthetic nanopore
+reads, end to end (edge matching + middle split + trim bookkeeping).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference Go toolkit's throughput anchor on its 16-thread
+desktop — the README's worst-case demultiplex note of ~1 minute per GB
+(ref README.md:126), i.e. ~16.7 MB/s of fastq.  For the synthetic read
+length here that converts to reads/s as baseline_reads_s below;
+vs_baseline is ours / reference.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_downpore_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np
+
+N_READS = 4096
+READ_LEN = 3000
+BATCH = 512
+SEED = 1234
+
+
+def make_reads(path, n_reads, rng):
+    from downpore_tpu.data import FRONT_ADAPTERS, BACK_ADAPTERS
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    front = FRONT_ADAPTERS[0][1]
+    back = BACK_ADAPTERS[0][1]
+
+    def mutate(s, rate=0.08):
+        arr = np.frombuffer(s.encode(), dtype=np.uint8).copy()
+        m = rng.random(len(arr)) < rate
+        arr[m] = bases[rng.integers(0, 4, int(m.sum()))]
+        return arr.tobytes().decode()
+
+    with open(path, "w") as f:
+        for i in range(n_reads):
+            core = bases[rng.integers(0, 4, READ_LEN)].tobytes().decode()
+            read = mutate(front) + core + mutate(back)
+            f.write(f"@read{i}\n{read}\n+\n{'I' * len(read)}\n")
+    return os.path.getsize(path)
+
+
+def main():
+    t_setup = time.time()
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.io import SequenceSet
+    from downpore_tpu.trim import Trimmer
+    from downpore_tpu.data import FRONT_ADAPTERS, BACK_ADAPTERS
+    import jax
+
+    rng = np.random.default_rng(SEED)
+    path = "/tmp/bench_reads.fastq"
+    nbytes = make_reads(path, N_READS, rng)
+
+    fronts = [Sequence.from_string(s, id=i, name=n)
+              for i, (n, s) in enumerate(FRONT_ADAPTERS)]
+    backs = [Sequence.from_string(s, id=i, name=n)
+             for i, (n, s) in enumerate(BACK_ADAPTERS)]
+
+    def run_trim(seq_set, trimmer):
+        trimmer.set_trim_params(85, 5, 50, 1000, True, True, False)
+        trimmer.trim(seq_set, batch_size=BATCH)
+
+    # warmup: small set compiles all kernel shapes
+    warm_path = "/tmp/bench_warm.fastq"
+    make_reads(warm_path, BATCH, np.random.default_rng(SEED + 1))
+    trimmer = Trimmer(fronts, backs, k=6, verbosity=0)
+    trimmer.determine_adapters(SequenceSet(warm_path, min_length=50),
+                               BATCH, 90, batch_size=BATCH)
+    run_trim(SequenceSet(warm_path, min_length=50), trimmer)
+
+    # measured run: fresh sequence set, same trimmer params/index
+    seq_set = SequenceSet(path, min_length=50)
+    seq_set._build_index()  # I/O indexing outside the timed region? no —
+    # keep it inside: the reference numbers include I/O.
+    seq_set = SequenceSet(path, min_length=50)
+    t0 = time.time()
+    trimmer2 = Trimmer(trimmer.original_front, trimmer.original_back,
+                       k=6, verbosity=0)
+    run_trim(seq_set, trimmer2)
+    elapsed = time.time() - t0
+
+    reads_s = N_READS / elapsed
+    # reference anchor: ~1 GB/min of fastq on the 16T desktop
+    ref_bytes_s = 1e9 / 60.0
+    bytes_per_read = nbytes / N_READS
+    baseline_reads_s = ref_bytes_s / bytes_per_read
+    print(json.dumps({
+        "metric": "trim_reads_per_s",
+        "value": round(reads_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_s / baseline_reads_s, 3),
+    }))
+    print(f"# backend={jax.default_backend()} elapsed={elapsed:.1f}s "
+          f"reads={N_READS} mean_read={READ_LEN + 50}b "
+          f"setup={t_setup and (t0 - t_setup):.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

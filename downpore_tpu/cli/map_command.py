@@ -1,0 +1,74 @@
+"""The map command (ref: commands/map.go:17-116)."""
+from __future__ import annotations
+
+import sys
+
+from .framework import Command, parse_bool, parse_int
+
+
+class MapCommand(Command):
+    name = "map"
+
+    def __init__(self):
+        super().__init__(
+            ["input", "reference", "circular", "k", "query_size",
+             "min_length", "chunk_size", "seed_rate", "num_workers"],
+            ["", "", "true", "11", "1000", "500", "10000", "40", "4"],
+            ["Fasta/fastq input file",
+             "A fasta file containing a reference sequence to align against",
+             "Whether the reference genome is circular",
+             "Length of seeds in bases",
+             "The number of bases to query at a time",
+             "The minimum sequence size to generate queries from",
+             "The number of bases for reference index chunks",
+             "The maximum number of bases between seeds in the reference",
+             "The number of worker process to use for mapping"])
+
+    def run(self, args):
+        from ..io import SequenceSet
+        from ..mapping import Mapper
+        from ..utils import kmer_occurrences
+        from ..utils.kmers import score_seed_values
+
+        k = parse_int(args["k"])
+        ref_set = SequenceSet(args["reference"])
+        reference = next(iter(ref_set.get_sequences()))
+        counts = kmer_occurrences(ref_set.get_sequences(), k)
+        values = score_seed_values(counts, k)
+        print("K-mer counting complete. Preparing to start indexing and "
+              "querying...", file=sys.stderr)
+        mapper = Mapper(reference, parse_bool(args["circular"]), k, values,
+                        parse_int(args["seed_rate"]),
+                        parse_int(args["query_size"]),
+                        parse_int(args["chunk_size"]))
+        seq_set = SequenceSet(args["input"],
+                              min_length=parse_int(args["min_length"]))
+        mapped = multiple = unmapped = total = 0
+        batch = []
+        batch_size = 64
+
+        def flush(batch):
+            nonlocal mapped, multiple, unmapped, total
+            for maps in mapper.map_batch(batch):
+                if maps:
+                    for m in maps:
+                        print(mapper.as_string(m))
+                    if len(maps) == 1:
+                        mapped += 1
+                    else:
+                        multiple += 1
+                    total += len(maps)
+                else:
+                    unmapped += 1
+
+        for seq in seq_set.get_sequences():
+            batch.append(seq)
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+        print("Uniquely mapped:", mapped, file=sys.stderr)
+        print("Multiple mappings:", multiple, file=sys.stderr)
+        print("total:", total, file=sys.stderr)
+        print("Unmapped:", unmapped, file=sys.stderr)

@@ -54,29 +54,44 @@ def make_anchors(qseeds, qpos, tseeds, tpos, max_anchors: int):
             "overflow": overflow}
 
 
-def _window_ok(gap_q, gap_t, k):
-    """The reference gap window (ref: seeds/sequence.go:489-496).  Integer
-    divisions there truncate toward zero; gap_q >= 0 on that branch so
-    floor == trunc."""
-    neg = (gap_t >= -k) & (gap_t <= 0)
-    pos = (gap_t >= (gap_q * 2) // 3 - k) & (gap_t <= (gap_q * 3) // 2 + k)
-    return jnp.where(gap_q < 0, neg, pos)
+def _window_ok(gap_q, gap_t, k, variant: str = "extend"):
+    """Gap compatibility windows.
+
+    ``extend``: the Match/extendChain window (ref: seeds/sequence.go:489),
+    computed from the query gap and applied to the target gap.
+    ``aligner``: the seedAligner window (ref: seeds/alignment.go:411-424),
+    computed from the *target* gap and applied to the query gap, with its
+    clamps (short gaps widen to [0, 20]).
+    Integer divisions truncate toward zero; inputs on the ratio branch are
+    >= 0 so floor == trunc."""
+    if variant == "extend":
+        neg = (gap_t >= -k) & (gap_t <= 0)
+        pos = (gap_t >= (gap_q * 2) // 3 - k) & (gap_t <= (gap_q * 3) // 2 + k)
+        return jnp.where(gap_q < 0, neg, pos)
+    g = gap_t
+    min_gap = (g * 2) // 3 - k
+    max_gap = (g * 3) // 2 + k + 1
+    neg_min = min_gap < 0
+    min_gap = jnp.where(neg_min, -k, jnp.where(max_gap < 20, 0, min_gap))
+    max_gap = jnp.where(neg_min, jnp.maximum(max_gap, 0),
+                        jnp.where(max_gap < 20, 20, max_gap))
+    return (gap_q >= min_gap) & (gap_q <= max_gap)
 
 
-def _chain_scan(qi, tj, qp, tp, valid, k: int):
+def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend"):
     """Forward anchor DP for one pair.  Returns per-anchor:
     score (chain length), cov_q/cov_t (bases covered), start_qp/start_tp
-    (positions of the chain's first anchor), start_flag (anchor begins its
-    best chain)."""
+    (positions of the chain's first anchor), bp (chosen predecessor anchor
+    index, -1 for chain starts)."""
     n = qi.shape[0]
 
     def body(t, state):
-        score, cov_q, cov_t, s_qp, s_tp = state
+        score, cov_q, cov_t, s_qp, s_tp, bp = state
         gap_q = qp[t] - qp - k
         gap_t = tp[t] - tp - k
         idx = jnp.arange(n)
         ok = (idx < t) & valid & (qi < qi[t]) & (tj < tj[t]) \
-            & _window_ok(gap_q, gap_t, k) & (score > 0)
+            & _window_ok(gap_q, gap_t, k, variant) & (score > 0)
         cand = jnp.where(ok, score, NEG)
         best = jnp.argmax(cand)
         best_score = cand[best]
@@ -88,21 +103,23 @@ def _chain_scan(qi, tj, qp, tp, valid, k: int):
                               cov_t[best] + k + jnp.minimum(0, gap_t[best]), k)
         new_s_qp = jnp.where(has_prev, s_qp[best], qp[t])
         new_s_tp = jnp.where(has_prev, s_tp[best], tp[t])
+        new_bp = jnp.where(has_prev, best.astype(jnp.int32), -1)
         v = valid[t]
         score = score.at[t].set(jnp.where(v, new_score, 0))
         cov_q = cov_q.at[t].set(jnp.where(v, new_cov_q, 0))
         cov_t = cov_t.at[t].set(jnp.where(v, new_cov_t, 0))
         s_qp = s_qp.at[t].set(jnp.where(v, new_s_qp, 0))
         s_tp = s_tp.at[t].set(jnp.where(v, new_s_tp, 0))
-        return score, cov_q, cov_t, s_qp, s_tp
+        bp = bp.at[t].set(jnp.where(v, new_bp, -1))
+        return score, cov_q, cov_t, s_qp, s_tp, bp
 
-    init = (jnp.zeros(n, jnp.int32),) * 5
-    score, cov_q, cov_t, s_qp, s_tp = jax.lax.fori_loop(0, n, body, init)
-    return score, cov_q, cov_t, s_qp, s_tp
+    init = (jnp.zeros(n, jnp.int32),) * 5 + (jnp.full(n, -1, jnp.int32),)
+    return jax.lax.fori_loop(0, n, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors"))
-def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int):
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant"))
+def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int,
+                variant: str = "extend"):
     """Forward + backward chain DP over a padded batch of pairs.
 
     Returns a dict of ``[P, max_anchors]`` arrays:
@@ -112,18 +129,19 @@ def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int):
       cov_q, cov_t     covered bases along that through-chain
       start_qp/tp      positions of the through-chain's first anchor
       end_qp/tp        positions of the through-chain's last anchor
+      bp               forward-pass predecessor (-1 at chain starts)
     """
     anchors = make_anchors(qseeds, qpos, tseeds, tpos, max_anchors)
     qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
                              anchors["tp"], anchors["valid"])
 
-    fwd = jax.vmap(_chain_scan, in_axes=(0, 0, 0, 0, 0, None))
-    f, cov_qf, cov_tf, s_qp, s_tp = fwd(qi, tj, qp, tp, valid, k)
+    fwd = jax.vmap(_chain_scan, in_axes=(0, 0, 0, 0, 0, None, None))
+    f, cov_qf, cov_tf, s_qp, s_tp, bp = fwd(qi, tj, qp, tp, valid, k, variant)
     # backward pass: reverse anchor order and negate coordinates, turning
     # "best chain starting here" into the same forward recurrence
     rev = lambda x: x[:, ::-1]
-    bb, cov_qb, cov_tb, e_qp, e_tp = fwd(rev(-qi), rev(-tj), rev(-qp),
-                                         rev(-tp), rev(valid), k)
+    bb, cov_qb, cov_tb, e_qp, e_tp, _ = fwd(rev(-qi), rev(-tj), rev(-qp),
+                                            rev(-tp), rev(valid), k, variant)
     b, cov_qb, cov_tb = rev(bb), rev(cov_qb), rev(cov_tb)
     e_qp, e_tp = -rev(e_qp), -rev(e_tp)
 
@@ -135,7 +153,26 @@ def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int):
         "cov_q": cov_qf + cov_qb - k, "cov_t": cov_tf + cov_tb - k,
         "start_qp": s_qp, "start_tp": s_tp,
         "end_qp": e_qp, "end_tp": e_tp,
+        "bp": bp,
     }
+
+
+def extract_best_chain(out, pair_idx: int):
+    """Recover the best chain's (query_seed_idx, target_seed_idx) lists by
+    walking forward-pass backpointers from the best-scoring anchor."""
+    f = out["f"][pair_idx]
+    if int(f.max(initial=0)) == 0:
+        return [], []
+    a = int(np.argmax(f))
+    bp = out["bp"][pair_idx]
+    qi = out["qi"][pair_idx]
+    tj = out["tj"][pair_idx]
+    ma, mb = [], []
+    while a >= 0:
+        ma.append(int(qi[a]))
+        mb.append(int(tj[a]))
+        a = int(bp[a])
+    return ma[::-1], mb[::-1]
 
 
 def _bucket(n: int) -> int:
@@ -148,31 +185,54 @@ def _bucket(n: int) -> int:
 
 
 def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
-                    nq: int, nt: int, max_anchors: int):
+                    nq: int, nt: int, max_anchors: int,
+                    variant: str = "extend", max_pairs: int = 2048):
     """Host wrapper: pad a list of (query, target) seed/position vectors to
     fixed shapes, run ``chain_batch`` on device, return numpy outputs
     truncated back to the true pair count.
 
     Queries/targets longer than nq/nt are truncated (callers choose shapes
-    to make this rare and can check ``overflow``).
+    to make this rare and can check ``overflow``).  Batches larger than
+    ``max_pairs`` are processed in fixed-size slices so jit shape buckets
+    stay small and bounded.
     """
     P = len(qseeds_list)
     if P == 0:
         return None
-    PB = _bucket(P)
-    qs = np.full((PB, nq), -1, np.int32)
-    qp = np.zeros((PB, nq), np.int32)
-    ts = np.full((PB, nt), -1, np.int32)
-    tp = np.zeros((PB, nt), np.int32)
-    for i in range(P):
-        m = min(len(qseeds_list[i]), nq)
-        qs[i, :m] = qseeds_list[i][:m]
-        qp[i, :m] = qpos_list[i][:m]
-        m = min(len(tseeds_list[i]), nt)
-        ts[i, :m] = tseeds_list[i][:m]
-        tp[i, :m] = tpos_list[i][:m]
-    out = chain_batch(qs, qp, ts, tp, k=k, max_anchors=max_anchors)
-    return {key: np.asarray(v)[:P] for key, v in out.items()}
+
+    def pack(lists, lo, n, PB, width, fill):
+        """Ragged list-of-arrays -> padded [PB, width] without a per-row
+        python loop."""
+        out = np.full((PB, width), fill, np.int32)
+        chunk = [np.asarray(lists[lo + i][:width]) for i in range(n)]
+        lens = np.fromiter((c.shape[0] for c in chunk), np.int64, n)
+        if lens.sum() == 0:
+            return out
+        flat = np.concatenate(chunk)
+        rows = np.repeat(np.arange(n), lens)
+        ends = np.cumsum(lens)
+        cols = np.arange(lens.sum()) - np.repeat(ends - lens, lens)
+        out[rows, cols] = flat
+        return out
+
+    def one(lo, hi):
+        n = hi - lo
+        PB = _bucket(n) if hi - lo < max_pairs else max_pairs
+        qs = pack(qseeds_list, lo, n, PB, nq, -1)
+        qp = pack(qpos_list, lo, n, PB, nq, 0)
+        ts = pack(tseeds_list, lo, n, PB, nt, -1)
+        tp = pack(tpos_list, lo, n, PB, nt, 0)
+        out = chain_batch(qs, qp, ts, tp, k=k, max_anchors=max_anchors,
+                          variant=variant)
+        out = jax.device_get(out)  # one batched transfer for all keys
+        return {key: v[:n] for key, v in out.items()}
+
+    if P <= max_pairs:
+        return one(0, P)
+    parts = [one(lo, min(lo + max_pairs, P))
+             for lo in range(0, P, max_pairs)]
+    return {key: np.concatenate([p[key] for p in parts])
+            for key in parts[0]}
 
 
 def good_chain_stats(out, pair_idx: int, min_match: int):

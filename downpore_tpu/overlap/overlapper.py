@@ -1,0 +1,278 @@
+"""All-vs-all overlap detection.
+
+Mirrors the reference overlapper (ref: overlap/overlap.go): queries are
+read edges (or centres / whole reads) that contribute seeds to a shared
+batch until ``seed_limit`` unique seeds exist; every read is then chopped
+into ~chunk-size pieces with overlap/2 step-back and indexed; overlaps are
+retrieved with the hit-fraction rule and chained.
+
+Device mapping: candidate retrieval + the distinct-seed popcount gate are
+batched int8 matmuls over the whole query set at once; chaining is the
+batched anchor DP with the seedAligner gap window
+(ref: seeds/alignment.go:411-424), returning full chains via backpointers.
+"""
+from __future__ import annotations
+
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from ..core.sequence import Sequence
+from ..seeds import SeedIndex, SeedSequence
+from ..seeds.seed_sequence import SeedMatch
+from ..ops import match as match_ops
+from ..ops.chain import run_chain_batch, extract_best_chain
+
+QUERY_EDGES = 1
+QUERY_CENTRE = 2
+QUERY_ALL = 4
+WEIGHT_EDGES = 8
+
+
+class SeedQuery:
+    """(ref: overlap/overlap.go:10-16)"""
+    __slots__ = ("id", "sequence_id", "query", "at_start", "rc")
+
+    def __init__(self, id: int, sequence_id: int, query: SeedSequence,
+                 at_start: bool, rc: bool):
+        self.id = id
+        self.sequence_id = sequence_id
+        self.query = query
+        self.at_start = at_start
+        self.rc = rc
+
+
+class Overlapper:
+    def __init__(self, index: SeedIndex, chunk_size: int, overlap: int,
+                 min_seeds: int, hit_fraction: float):
+        self.index = index
+        self.chunk_size = chunk_size
+        self.overlap = overlap
+        self.min_seeds = min_seeds
+        self.hit_fraction = hit_fraction
+
+    # -- query preparation ---------------------------------------------
+    def _query_subsequences(self, seqs: Iterable[Sequence], query_type: int,
+                            seed_limit: int, num_seeds: int,
+                            kmer_values: np.ndarray) -> List[Sequence]:
+        """Pass 1: pick subsequences and grow the seed set
+        (ref: overlap/overlap.go:55-155)."""
+        weight_sides = bool(query_type & WEIGHT_EDGES)
+
+        def emit(sub, out):
+            if weight_sides and len(sub) > 400:
+                out.append(sub.subsequence(0, 200))
+                out.append(sub.subsequence(len(sub) - 200, len(sub)))
+            else:
+                out.append(sub)
+
+        cached: List[Sequence] = []
+        for s in seqs:
+            if self.index.num_seeds >= seed_limit:
+                break
+            subs: List[Sequence] = []
+            if query_type & QUERY_EDGES:
+                if len(s) < self.overlap * 2:
+                    emit(s, subs)
+                    cached.append(s)
+                else:
+                    s1 = s.subsequence(0, self.overlap)
+                    s2 = s.subsequence(len(s) - self.overlap, len(s))
+                    emit(s1, subs)
+                    emit(s2, subs)
+                    cached.append(s1)
+                    cached.append(s2)
+            elif query_type & QUERY_CENTRE:
+                start = max(0, (len(s) - self.overlap) // 2)
+                end = min(start + self.overlap, len(s) - 1)
+                centre = s.subsequence(start, end)
+                emit(centre, subs)
+                cached.append(centre)
+            else:  # QUERY_ALL
+                if len(s) < self.overlap * 2:
+                    emit(s, subs)
+                    cached.append(s)
+                else:
+                    slices = len(s) // self.overlap
+                    for i in range(slices):
+                        start = (i * len(s)) // slices
+                        end = ((i + 1) * len(s)) // slices
+                        sub = s.subsequence(start, end)
+                        emit(sub, subs)
+                        cached.append(sub)
+            ns = num_seeds // 2 if weight_sides else num_seeds
+            for sub in subs:
+                self.index.add_seeds(sub, ns, kmer_values)
+        return cached
+
+    def prepare_queries(self, num_seeds: int, seed_limit: int,
+                        kmer_values: np.ndarray,
+                        seqs: Iterable[Sequence],
+                        query_type: int) -> List[SeedQuery]:
+        """Two-pass query prep: grow seeds, then re-extract every query
+        with the full seed set plus its RC twin
+        (ref: overlap/overlap.go:157-214)."""
+        cached = self._query_subsequences(seqs, query_type, seed_limit,
+                                          num_seeds, kmer_values)
+        queries: List[SeedQuery] = []
+        k = self.index.k
+        for qid, s in enumerate(cached):
+            ss = self.index.new_seed_sequence(s)
+            queries.append(SeedQuery(qid, ss.id, ss, True, False))
+            queries.append(SeedQuery(qid, ss.id,
+                                     ss.reverse_complement(k, self.index),
+                                     True, True))
+        return queries
+
+    # -- indexing -------------------------------------------------------
+    def add_sequences(self, seqs: Iterable[Sequence]):
+        """Chop every read into ~chunk_size / 100-seed chunks with
+        overlap/2 step-back and index them
+        (ref: overlap/overlap.go:217-318)."""
+        for s in seqs:
+            if s is None:
+                continue
+            ss = self.index.new_seed_sequence(s)
+            self._chunk_and_add(ss)
+        self.index.index_sequences()
+
+    def _chunk_and_add(self, s: SeedSequence):
+        """Port of chunkWorker (ref: overlap/overlap.go:253-318)."""
+        k = self.index.k
+        num_chunks = s.length // self.chunk_size + 1
+        n = s.num_seeds
+        if num_chunks == 1 or n < self.min_seeds * 3:
+            if n >= self.min_seeds:
+                self.index.add_sequence(s)
+            return
+        pos = s.seed_positions(k)
+        prev = 0                     # first seed of current chunk
+        total_offset = int(pos[0])   # bases before seed `prev`
+        while True:
+            if prev >= n - 150:  # add right up to the end
+                if prev == 0:
+                    self.index.add_sequence(s)
+                else:
+                    new_first_gap = int(s.gaps[prev]) if prev > 0 else 0
+                    length = int(pos[n - 1]) + k - int(pos[prev]) \
+                        + int(s.gaps[-1]) + new_first_gap
+                    self.index.add_sequence(s.sub_sequence(
+                        prev, n - 1, length, total_offset - new_first_gap, 0))
+                return
+            # count seeds until chunk_size bases or 100 seeds
+            count = 0
+            length = 0
+            while (length < self.chunk_size and count < 100
+                   and prev + count < n):
+                nxt = prev + count
+                step = (int(pos[nxt + 1]) - int(pos[nxt])) if nxt + 1 < n \
+                    else int(s.gaps[-1]) + k
+                length += step
+                count += 1
+            if count >= self.min_seeds:
+                new_first_gap = int(s.gaps[prev])
+                length += new_first_gap
+                self.index.add_sequence(s.sub_sequence(
+                    prev, prev + count - 1, length,
+                    total_offset - new_first_gap,
+                    s.length - total_offset - length + new_first_gap))
+                total_offset += length - new_first_gap
+                prev += count
+                if prev >= n:
+                    return
+                # step back 5 seeds or overlap/2
+                stepped = 0
+                back = 0
+                while back < 5 and stepped < self.overlap // 2 and prev > 0:
+                    prev -= 1
+                    d = (int(pos[prev + 1]) - int(pos[prev])) if prev + 1 < n \
+                        else int(s.gaps[-1]) + k
+                    stepped += d
+                    total_offset -= d
+                    back += 1
+            else:
+                prev += count
+                stepped = 0
+                while stepped < self.overlap // 2 and prev > 0:
+                    prev -= 1
+                    d = (int(pos[prev + 1]) - int(pos[prev])) if prev + 1 < n \
+                        else int(s.gaps[-1]) + k
+                    stepped += d
+                    total_offset -= d
+
+    # -- overlap search -------------------------------------------------
+    def find_overlaps(self, queries: List[SeedQuery]) -> List[SeedMatch]:
+        """Batched matchWorker (ref: overlap/overlap.go:346-387): one
+        retrieval matmul for all queries, popcount gate, chain DP, best
+        match per (query, candidate)."""
+        if not queries or self.index.num_sequences == 0:
+            return []
+        k = self.index.k
+        S = self.index.num_seeds
+        H = match_ops.choose_hash_size(S)
+        membership = match_ops.build_membership(
+            [c.seeds for c in self.index.sequences], S, H)
+        if self.index._seed_counts is None:
+            self.index.index_sequences()
+        usable = self.index._seed_counts < self.index.num_sequences
+        V, VD, num_sets = match_ops.build_query_rows(
+            [q.query for q in queries], S, usable, H)
+        counts = _bucketed_counts(V, membership)
+        dcounts = _bucketed_counts(VD, membership)
+        cand_lists = match_ops.candidates_from_counts(
+            counts, num_sets, self.hit_fraction)
+
+        chunk_pos = {}
+        qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
+        for qi, q in enumerate(queries):
+            min_matches = int(self.hit_fraction * q.query.num_seeds + 0.5)
+            qpos = q.query.seed_positions(k).astype(np.int32)
+            qmask = np.zeros(S, dtype=bool)
+            qmask[q.query.seeds] = True
+            for ci in cand_lists[qi]:
+                ci = int(ci)
+                if dcounts[qi, ci] < min_matches:
+                    continue
+                chunk = self.index.sequences[ci]
+                if ci not in chunk_pos:
+                    chunk_pos[ci] = \
+                        chunk.seed_positions(k).astype(np.int32)
+                tkeep = qmask[chunk.seeds]
+                qs_l.append(q.query.seeds)
+                qp_l.append(qpos)
+                ts_l.append(chunk.seeds[tkeep])
+                tp_l.append(chunk_pos[ci][np.asarray(tkeep)])
+                metas.append((qi, ci, np.flatnonzero(tkeep)))
+        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, k,
+                              nq=128, nt=128, max_anchors=192,
+                              variant="aligner")
+        results: List[SeedMatch] = []
+        if out is None:
+            return results
+        min_m = {qi: int(self.hit_fraction * q.query.num_seeds + 0.5)
+                 for qi, q in enumerate(queries)}
+        for pi, (qi, ci, tmap) in enumerate(metas):
+            q = queries[qi]
+            best_len = int(out["f"][pi].max(initial=0))
+            if best_len < max(1, min_m[qi]):
+                continue
+            ma, mb = extract_best_chain(out, pi)
+            if not ma:
+                continue
+            # map target indices back through the reduction
+            mb = [int(tmap[j]) for j in mb]
+            m = SeedMatch(ma, mb, q.query, self.index.sequences[ci],
+                          query_id=q.id, rc_query=q.rc)
+            results.append(m)
+            if best_len * 2 > min_m[qi] * 3:
+                min_m[qi] = (best_len * 2) // 3
+        return results
+
+
+def _bucketed_counts(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+    from ..ops.chain import _bucket
+    n = V.shape[0]
+    nb = _bucket(max(1, n))
+    if nb != n:
+        V = np.concatenate([V, np.zeros((nb - n, V.shape[1]), V.dtype)])
+    return np.asarray(match_ops.hit_counts(V, M))[:n]

@@ -296,6 +296,59 @@ class SeedMatch:
                 return False
         return True
 
+    def reverse_complement(self, k: int, index):
+        """Replace both sequences with their RCs and flip the match
+        (ref: seeds/sequence.go:800-816)."""
+        self.seq_a = self.seq_a.reverse_complement(k, index)
+        self.seq_b = self.seq_b.reverse_complement(k, index)
+        la = self.seq_a.num_seeds - 1
+        lb = self.seq_b.num_seeds - 1
+        self.match_a = [la - i for i in reversed(self.match_a)]
+        self.match_b = [lb - i for i in reversed(self.match_b)]
+
+    def get_base_index(self, a_index: int, k: int):
+        """Locate position ``a_index`` (a seed index in A) within B: returns
+        (b_seed_index, bases_after, distance) (ref: seeds/sequence.go:1190).
+        """
+        sa = self.seq_a
+        sb = self.seq_b
+        before = 0
+        while before < len(self.match_a) and self.match_a[before] <= a_index:
+            before += 1
+        if before == 0:
+            offset = 0
+            for i in range(self.match_a[0], a_index, -1):
+                offset += int(sa.gaps[i]) + k
+            b_index = self.match_b[0]
+            distance = 0
+            i = b_index
+            while i > 0 and offset > 0:
+                offset -= int(sb.gaps[i]) + k
+                distance += int(sb.gaps[i]) + k
+                b_index -= 1
+                i -= 1
+            if b_index == 0:
+                return 0, -offset, distance + offset
+            return b_index, -offset, distance
+        before -= 1
+        b_index = self.match_b[before]
+        if a_index == self.match_a[before]:
+            return b_index, 0, 0
+        offset = 0
+        for i in range(self.match_a[before] + 1, a_index + 1):
+            offset += int(sa.gaps[i]) + k
+        distance = 0
+        i = b_index + 1
+        # the reference walks the trailing gap too (segments index 2n)
+        while i < sb.num_seeds + 1 and offset >= int(sb.gaps[i]):
+            offset -= int(sb.gaps[i]) + k
+            distance += int(sb.gaps[i]) + k
+            b_index += 1
+            i += 1
+        if b_index >= sb.num_seeds:
+            return b_index - 1, offset, distance + offset
+        return b_index, offset, distance + offset
+
 
 def _trunc_div(a: int, b: int) -> int:
     """Go-style integer division (truncate toward zero)."""

@@ -43,6 +43,17 @@ def _int_div(a: int, b: int) -> int:
     return -q if a < 0 else q
 
 
+def _bucketed_hit_counts(E: np.ndarray, A: np.ndarray) -> np.ndarray:
+    """Pad the row dimension up to a power-of-two bucket before the device
+    matmul so jit shape caches stay warm across variable batch sizes."""
+    from ..ops.chain import _bucket
+    n = E.shape[0]
+    nb = _bucket(max(1, n))
+    if nb != n:
+        E = np.concatenate([E, np.zeros((nb - n, E.shape[1]), E.dtype)])
+    return np.asarray(match_ops.hit_counts(E, A))[:n]
+
+
 class _EdgeResult:
     __slots__ = ("earliest", "latest", "found", "best_match")
 
@@ -136,21 +147,36 @@ class Trimmer:
     # -- edge matching ---------------------------------------------------
     def _edge_data(self, edges: List[Sequence]):
         """Per edge: distinct-seed multi-hot row + the edge's (seed,
-        position) vectors for chaining."""
+        position) vectors for chaining.  One vectorized 2D k-mer scan for
+        the whole batch: the rolling k-mers of all edges at once, one
+        global nonzero for seed hits, ragged-split per edge."""
         S = self.index.num_seeds
         n = len(edges)
-        E = np.zeros((n, S), dtype=np.int8)
-        seed_lists = []
-        pos_lists = []
-        kmer_sets = []
+        k = self.k
+        L = max((len(e) for e in edges), default=k)
+        codes = np.zeros((n, L), dtype=np.uint8)
+        lens = np.empty(n, dtype=np.int64)
         for i, e in enumerate(edges):
-            kset = self.index.get_seeds_from_kmers(e.short_kmers(self.k, True))
-            kmer_sets.append(kset)
-            E[i, kset] = 1
-            ss = self.index.new_seed_sequence(e)
-            seed_lists.append(ss.seeds)
-            pos_lists.append(ss.seed_positions(self.k).astype(np.int32))
-        return E, seed_lists, pos_lists, kmer_sets
+            m = len(e)
+            lens[i] = m
+            codes[i, :m] = e.codes
+        W = L - k + 1
+        kmers = np.zeros((n, W), dtype=np.int32)
+        c = codes.astype(np.int32)
+        for j in range(k):
+            kmers |= c[:, j : j + W] << (2 * (k - 1 - j))
+        valid = np.arange(W)[None, :] < (lens[:, None] - k + 1)
+        hit = self.index.kmer_table[kmers] & valid
+        rows, cols = np.nonzero(hit)
+        seeds = self.index.kmer_map[kmers[rows, cols]]
+        counts = np.bincount(rows, minlength=n)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        seed_lists = [seeds[offs[i] : offs[i + 1]] for i in range(n)]
+        pos_lists = [cols[offs[i] : offs[i + 1]].astype(np.int32)
+                     for i in range(n)]
+        E = np.zeros((n, S), dtype=np.int8)
+        E[rows, seeds] = 1
+        return E, seed_lists, pos_lists, E.view(bool)
 
     def _match_edges(self, edges: List[Sequence], adapters, adapter_sets,
                      counts, min_match: int = 3,
@@ -161,7 +187,7 @@ class Trimmer:
         E, seed_lists, pos_lists, kmer_sets = self._edge_data(edges)
         F_all, B_all = self._matrices()
         A = F_all if adapters is self.front_adapters else B_all
-        hits = np.asarray(match_ops.hit_counts(E, A))  # [n, Nad]
+        hits = _bucketed_hit_counts(E, A)  # [n, Nad]
         aset_sizes = np.array([max(1, len(s)) for s in adapter_sets])
         gate = ((hits * 10) // aset_sizes >= 2) | (hits >= 3)
 
@@ -178,9 +204,7 @@ class Trimmer:
             # mutual reduction by seed membership (no consecutive dedup)
             amask = np.zeros(self.index.num_seeds, dtype=bool)
             amask[adapter_sets[ai]] = True
-            emask = np.zeros(self.index.num_seeds, dtype=bool)
-            emask[kmer_sets[ei]] = True
-            akeep = emask[ad.seeds]
+            akeep = kmer_sets[ei][ad.seeds]
             apos = ad.seed_positions(self.k).astype(np.int32)
             tkeep = amask[seed_lists[ei]]
             qs_l.append(ad.seeds[akeep])
@@ -296,7 +320,7 @@ class Trimmer:
         E, seed_lists, pos_lists, kmer_sets = self._edge_data(edges)
         F_all, B_all = self._matrices()
         A = F_all if adapters is self.front_adapters else B_all
-        hits = np.asarray(match_ops.hit_counts(E, A))
+        hits = _bucketed_hit_counts(E, A)
         qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
         for ei in range(len(edges)):
             for ai in range(len(adapters)):
@@ -308,9 +332,7 @@ class Trimmer:
                 ad = adapters[ai]
                 amask = np.zeros(self.index.num_seeds, dtype=bool)
                 amask[adapter_sets[ai]] = True
-                emask = np.zeros(self.index.num_seeds, dtype=bool)
-                emask[kmer_sets[ei]] = True
-                akeep = emask[ad.seeds]
+                akeep = kmer_sets[ei][ad.seeds]
                 apos = ad.seed_positions(self.k).astype(np.int32)
                 tkeep = amask[seed_lists[ei]]
                 qs_l.append(ad.seeds[akeep])
@@ -388,76 +410,94 @@ class Trimmer:
                 seqs.set_back_trim(rid, end)
 
     # -- middle pass -------------------------------------------------------
-    def _middle_pass(self, seqs):
-        """Chunk read interiors into the index, search every front adapter
-        for read-splitting matches (ref: trim/trim.go:151-257)."""
+    def _middle_pass(self, seqs, window_batch: int = 8192):
+        """Search read interiors for read-splitting adapters.
+
+        The reference chunks interiors into the seed index and retrieves
+        candidates per adapter with the soft-union, re-indexing every 300M
+        seeds (ref: trim/trim.go:151-257, 515-591).  The TPU-native shape
+        is uniform 200-base interior windows (any adapter up to
+        LONGEST_ADAPTER bases lies fully inside one window) gated by the
+        same MXU matmul as the edge pass, then batch-chained; the rolling
+        index and re-index rounds disappear.  The split/crop decision
+        logic and thresholds are the reference's."""
         splits = {}
-        total_count = 0
-        total_bases = 0
+        windows: List[Sequence] = []
+        win = 2 * LONGEST_ADAPTER
+        step = LONGEST_ADAPTER
+        detections = []
         for seq in seqs.get_sequences():
             n = len(seq)
-            i = EDGE_SIZE
-            total_bases += max(0, n - 2 * EDGE_SIZE)
-            while i < n - EDGE_SIZE - LONGEST_ADAPTER:
-                if i > n - (self.chunk_size * 3) // 2 - EDGE_SIZE:
-                    ss = self.index.new_seed_sequence(
-                        seq.subsequence(i, n - EDGE_SIZE))
-                    total_count += ss.num_seeds
-                    self.index.add_sequence(ss)
-                    break
-                end_point = min(i + self.chunk_size, n - EDGE_SIZE)
-                ss = self.index.new_seed_sequence(seq.subsequence(i, end_point))
-                total_count += ss.num_seeds
-                if ss.num_seeds >= MIN_CHUNK_SEEDS:
-                    self.index.add_sequence(ss)
-                i += self.chunk_size - LONGEST_ADAPTER
-            if total_count > REINDEX_SEEDS:
-                self._find_splits(seqs, splits, total_bases)
-                total_count = 0
-                total_bases = 0
-                self._setup_index()
-        if total_count > 0:
-            self._find_splits(seqs, splits, total_bases)
+            lo, hi = EDGE_SIZE, n - EDGE_SIZE
+            if hi - lo < self.k + 4:
+                continue
+            starts = list(range(lo, max(lo, hi - win) + 1, step))
+            if starts and starts[-1] < hi - win:
+                starts.append(hi - win)
+            for st in starts:
+                windows.append(seq.subsequence(st, min(st + win, hi)))
+                if len(windows) >= window_batch:
+                    detections.extend(self._match_windows(windows))
+                    windows = []
+        if windows:
+            detections.extend(self._match_windows(windows))
+        # dedupe repeated detections of one occurrence across overlapping
+        # windows: same read+adapter within 30 bases keeps best identity
+        best = {}
+        for rid, ai, start, identity, orig_len in detections:
+            key = (rid, ai, start // 30)
+            cur = best.get(key)
+            if cur is None or identity > cur[3]:
+                best[key] = (rid, ai, start, identity, orig_len)
+        for rid, ai, start, identity, orig_len in sorted(best.values()):
+            self._record_split(seqs, splits, self.front_adapters[ai],
+                               rid, start, orig_len)
         self._log(len(splits), "sequences require splitting")
         self._apply_splits(seqs, splits)
 
-    def _find_splits(self, seqs, splits, total_bases):
-        """Batched findSplit over all front adapters
-        (ref: trim/trim.go:515-591)."""
-        self.index.index_sequences()
-        self._log("Searching", total_bases // 1_000_000,
-                  "MB of sequences for splitting based on",
-                  len(self.front_adapters), "adapters")
-        if self.index.num_sequences == 0:
-            return
-        usable = self.index._seed_counts < self.index.num_sequences
-        V, num_sets = match_ops.build_query_matrix(
-            self.front_adapters, self.index.num_seeds, usable)
-        counts = np.asarray(match_ops.hit_counts(
-            V, self.index.membership.astype(np.int8)))
-        cands = match_ops.candidates_from_counts(counts, num_sets, 0.2)
-        qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
-        for ai, cand in enumerate(cands):
+    def _match_windows(self, windows: List[Sequence]):
+        """Gate + chain a batch of interior windows against all front
+        adapters; returns (read_id, adapter_idx, start_in_original_read,
+        identity, original_length) detections with identity >=
+        mid_threshold."""
+        E, seed_lists, pos_lists, kmer_sets = self._edge_data(windows)
+        F_all, _ = self._matrices()
+        hits = _bucketed_hit_counts(E, F_all)
+        # a chain of L anchors covers at most L*k bases of the adapter, so
+        # reaching mid_threshold% identity needs L >= ceil(thr*len/(100*k))
+        # distinct shared seeds; the matmul gate can demand that outright —
+        # far stricter than the reference's 0.2 hit fraction over whole
+        # chunks without losing any split the identity filter could accept
+        min_matches = np.array([
+            max(3, ad.num_seeds // 5,
+                -(-self.mid_threshold * ad.length // (100 * self.k)))
+            for ad in self.front_adapters])
+        gate = hits >= min_matches
+        pairs = np.argwhere(gate)
+        if pairs.shape[0] == 0:
+            return []
+        qs_l, qp_l, ts_l, tp_l = [], [], [], []
+        apos_cache = {}
+        amask_cache = {}
+        for ei, ai in pairs:
             ad = self.front_adapters[ai]
-            apos = ad.seed_positions(self.k).astype(np.int32)
-            amask = np.zeros(self.index.num_seeds, dtype=bool)
-            amask[self.front_sets[ai]] = True
-            for ci in cand:
-                chunk = self.index.sequences[ci]
-                cmask = np.zeros(self.index.num_seeds, dtype=bool)
-                cmask[chunk.seeds] = True
-                akeep = cmask[ad.seeds]
-                tkeep = amask[chunk.seeds]
-                qs_l.append(ad.seeds[akeep])
-                qp_l.append(apos[akeep])
-                ts_l.append(chunk.seeds[tkeep])
-                tp_l.append(chunk.seed_positions(self.k).astype(np.int32)[tkeep])
-                metas.append((ai, int(ci)))
+            if ai not in apos_cache:
+                apos_cache[ai] = ad.seed_positions(self.k).astype(np.int32)
+                am = np.zeros(self.index.num_seeds, dtype=bool)
+                am[self.front_sets[ai]] = True
+                amask_cache[ai] = am
+            # reduce the window to the adapter's seeds: noise pairs shrink
+            # to a handful of positions and the DP batch stays tiny
+            tkeep = amask_cache[ai][seed_lists[ei]]
+            qs_l.append(ad.seeds)
+            qp_l.append(apos_cache[ai])
+            ts_l.append(seed_lists[ei][tkeep])
+            tp_l.append(pos_lists[ei][tkeep])
         out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
-                              nq=64, nt=128, max_anchors=192)
-        if out is None:
-            return
-        for pi, (ai, ci) in enumerate(metas):
+                              nq=64, nt=64, max_anchors=64)
+        detections = []
+        for pi, (ei, ai) in enumerate(pairs):
+            ei, ai = int(ei), int(ai)
             ad = self.front_adapters[ai]
             min_match = max(1, ad.num_seeds // 5)
             best = int(out["through"][pi].max(initial=0))
@@ -467,8 +507,8 @@ class Trimmer:
             good = out["valid"][pi] & (out["through"][pi] >= thr)
             if not good.any():
                 continue
-            chunk = self.index.sequences[ci]
-            # one "match" per distinct chain start among good anchors
+            w = windows[ei]
+            orig_len = len(w) + w.offset + w.inset
             sq = out["start_qp"][pi][good]
             stp = out["start_tp"][pi][good]
             cov = out["cov_q"][pi][good]
@@ -480,16 +520,16 @@ class Trimmer:
                 identity = _int_div(best_cov * 100, ad.length)
                 if identity < self.mid_threshold:
                     continue
-                self._record_split(seqs, splits, ad, chunk, stpp - sqp)
+                detections.append((w.id, ai, w.offset + stpp - sqp,
+                                   identity, orig_len))
+        return detections
 
-    def _record_split(self, seqs, splits, ad, chunk, chunk_start):
-        """Split/crop bookkeeping for one adapter match
-        (ref: trim/trim.go:530-585)."""
-        rid = chunk.id
+    def _record_split(self, seqs, splits, ad, rid, start, orig_len):
+        """Split/crop bookkeeping for one adapter match, in original-read
+        coordinates (ref: trim/trim.go:530-585)."""
         front_trim = seqs.get_front_trim(rid)
         back_trim = seqs.get_back_trim(rid)
-        start = chunk.offset + chunk_start
-        seq_len = chunk.offset + chunk.length + chunk.inset - back_trim
+        seq_len = orig_len - back_trim
         if start < MIN_SPLIT_SEQ + front_trim:
             # crop the front off
             new_trim = start + ad.length + self.extra_mid_trim

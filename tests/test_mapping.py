@@ -1,0 +1,130 @@
+"""Mapper end-to-end tests on a synthetic genome."""
+import numpy as np
+import pytest
+
+from downpore_tpu.core import Sequence
+from downpore_tpu.mapping import Mapper
+from downpore_tpu.utils import kmer_occurrences
+from downpore_tpu.utils.kmers import score_seed_values
+
+BASES = "ACGT"
+K = 11
+
+
+def rand_bases(n, rng):
+    return "".join(BASES[i] for i in rng.integers(0, 4, n))
+
+
+def mutate(codes, rate, rng):
+    codes = codes.copy()
+    mask = rng.random(len(codes)) < rate
+    codes[mask] = (codes[mask] + rng.integers(1, 4, mask.sum())) % 4
+    return codes
+
+
+@pytest.fixture(scope="module")
+def genome_and_mapper():
+    rng = np.random.default_rng(42)
+    genome = Sequence.from_string(rand_bases(60000, rng), id=0, name="chr")
+    counts = kmer_occurrences([genome], K)
+    values = score_seed_values(counts, K)
+    mapper = Mapper(genome, circular=False, k=K, kmer_values=values,
+                    seed_rate=40, edge_size=1000, chunk_size=10000)
+    return genome, mapper, rng
+
+
+def test_index_built(genome_and_mapper):
+    genome, mapper, _ = genome_and_mapper
+    assert mapper.index.num_seeds > 500
+    assert mapper.index.num_sequences >= 6
+
+
+def test_map_exact_read(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    read = Sequence(genome.codes[20000:24000].copy(), id=1, name="r")
+    maps = mapper.map(read)
+    assert len(maps) == 1
+    m = maps[0]
+    assert not m.rc
+    assert abs(m.start - 20000) < 100
+    assert abs(m.end - 24000) < 100
+    assert m.query_offset < 100 and m.query_inset < 100
+
+
+def test_map_noisy_read(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    codes = mutate(genome.codes[5000:9000], 0.08, rng)
+    read = Sequence(codes, id=2, name="noisy")
+    maps = mapper.map(read)
+    assert len(maps) >= 1
+    m = max(maps, key=lambda m: m.ids)
+    assert not m.rc
+    assert abs(m.start - 5000) < 200
+    assert abs(m.end - 9000) < 200
+
+
+def test_map_rc_read(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    read = Sequence(genome.codes[30000:34000].copy(), id=3,
+                    name="rcread").reverse_complement()
+    read.offset = read.inset = 0
+    maps = mapper.map(read)
+    assert len(maps) >= 1
+    m = max(maps, key=lambda m: m.ids)
+    assert m.rc
+    assert abs(m.start - 30000) < 200
+    assert abs(m.end - 34000) < 200
+
+
+def test_map_short_read(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    read = Sequence(genome.codes[10000:11500].copy(), id=4, name="short")
+    maps = mapper.map(read)
+    assert len(maps) >= 1
+    assert abs(maps[0].start - 10000) < 200
+
+
+def test_chimeric_read(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    codes = np.concatenate([genome.codes[2000:6000],
+                            genome.codes[40000:44000]])
+    read = Sequence(codes, id=5, name="chimera")
+    maps = mapper.map_batch([read])[0]
+    # both halves should be reported
+    assert len(maps) >= 2
+    starts = sorted(m.start for m in maps)
+    assert any(abs(s - 2000) < 500 for s in starts)
+    assert any(abs(s - 40000) < 500 for s in starts)
+
+
+def test_unmappable_read(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    read = Sequence.from_string(rand_bases(3000, np.random.default_rng(99)),
+                                id=6, name="junk")
+    maps = mapper.map(read)
+    assert maps == []
+
+
+def test_paf_output(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    read = Sequence(genome.codes[20000:24000].copy(), id=7, name="pafread")
+    m = mapper.map(read)[0]
+    line = mapper.as_string(m)
+    fields = line.split("\t")
+    assert fields[0] == "pafread"
+    assert int(fields[1]) == 4000
+    assert fields[4] == "+"
+    assert fields[5] == "chr"
+    assert int(fields[6]) == 60000
+    assert int(fields[11]) == 255
+
+
+def test_map_batch_multiple(genome_and_mapper):
+    genome, mapper, rng = genome_and_mapper
+    reads = [Sequence(genome.codes[s:s + 3500].copy(), id=10 + i,
+                      name=f"b{i}")
+             for i, s in enumerate((1000, 15000, 33000, 50000))]
+    all_maps = mapper.map_batch(reads)
+    for (read, maps), s in zip(zip(reads, all_maps), (1000, 15000, 33000, 50000)):
+        assert len(maps) >= 1
+        assert abs(maps[0].start - s) < 200
