@@ -1,0 +1,101 @@
+"""Base-space consensus glue: slice contig parts, run the DTW engine,
+write refined offsets back (ref: consensus/consensus.go:15-131)."""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..core.sequence import Sequence
+from ..align import DTWAligner, SimpleMeasure
+from ..overlap.combine import SeedContig
+
+
+def build_consensus(contig: SeedContig, sequences, model=None,
+                    full_match: bool = False
+                    ) -> Tuple[Optional[SeedContig], Optional[Sequence]]:
+    """``sequences`` maps read id -> Sequence (list or dict).  Returns the
+    updated contig and the consensus Sequence (carrying the base read's
+    id/offsets when one part is the query itself), or (None, None)."""
+    k = 5
+    cost_threshold = 200
+    initial_gap_cost = 5
+    if model is not None:
+        k = model.k
+        initial_gap_cost = 2
+    seqs: List[np.ndarray] = []
+    rcs: List[bool] = []
+    seq_map: List[int] = []
+    base_seq_index = -1
+    for i, rid in enumerate(contig.parts):
+        if contig.matches is not None and \
+                contig.matches[i].seq_a.id == contig.matches[i].seq_b.id:
+            base_seq_index = i
+        if contig.approximate[i]:
+            continue
+        b = sequences[rid]
+        start = contig.offsets[i]
+        if start < 0:
+            if start < -5:
+                continue
+            start = 0
+        end = contig.offsets[i] + contig.lengths[i]
+        if end > len(b):
+            if end > len(b) + 100 or (contig.reverse_complement[i]
+                                      and end > len(b) + 5):
+                continue
+            end = len(b)
+        if start >= end:
+            start = end - 1
+        sub = b.subsequence(start, end)
+        if contig.reverse_complement[i]:
+            sub = sub.reverse_complement()
+        rcs.append(contig.reverse_complement[i])
+        seqs.append(sub.short_kmers(k, False))
+        seq_map.append(i)
+    if len(seqs) < 3:
+        return None, None
+
+    measure = model.clone() if model is not None else SimpleMeasure(k)
+    measure.set_sequences(seqs, rcs)
+    dtw = DTWAligner(16, initial_gap_cost, measure, full_match,
+                     cost_threshold, k)
+    kmers, costs, positions = dtw.global_alignment()
+    if len(kmers) < 100:  # too short; bad sequence match
+        return None, None
+    start_positions = positions[0]
+    end_positions = positions[-1]
+    consensus_len = len(kmers) - k + 1
+
+    for i in range(len(contig.lengths)):
+        contig.lengths[i] = consensus_len
+        contig.approximate[i] = True
+    for i, index in enumerate(seq_map):
+        contig.approximate[index] = False
+        if contig.reverse_complement[index]:
+            contig.offsets[index] += len(seqs[i]) - end_positions[i]
+        else:
+            contig.offsets[index] += start_positions[i]
+        contig.lengths[index] = end_positions[i] - start_positions[i] + k - 1
+
+    codes = _kmers_to_codes(kmers, k)
+    if base_seq_index == -1:
+        consensus = Sequence(codes, id=-1)
+    else:
+        offset = contig.offsets[base_seq_index]
+        inset = contig.seq_lengths[base_seq_index] - offset - consensus_len
+        consensus = Sequence(codes, id=contig.parts[base_seq_index],
+                             offset=offset, inset=inset)
+    return contig, consensus
+
+
+def _kmers_to_codes(kmers, k: int) -> np.ndarray:
+    """k-mer stream -> base codes (ref: sequence/sequence.go:107-117)."""
+    n = len(kmers)
+    codes = np.empty(n + k - 1, dtype=np.uint8)
+    first = int(kmers[0])
+    for i in range(k - 1):
+        codes[i] = (first >> (2 * (k - i - 1))) & 3
+    for i, v in enumerate(kmers):
+        codes[i + k - 1] = int(v) & 3
+    return codes
