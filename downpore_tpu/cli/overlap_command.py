@@ -1,0 +1,115 @@
+"""The overlap command: batched all-vs-all rounds with PAF output
+(ref: commands/overlap.go:22-233)."""
+from __future__ import annotations
+
+import sys
+import time
+
+from .framework import Command, parse_bool, parse_float, parse_int
+
+
+class OverlapCommand(Command):
+    name = "overlap"
+
+    def __init__(self):
+        super().__init__(
+            ["overlap_size", "k", "num_seeds", "seed_batch_size",
+             "chunk_size", "query_batch_size", "min_hits", "num_workers",
+             "input", "seed_values", "himem"],
+            ["1000", "10", "15", "10000", "10000", "20000", "0.25", "4",
+             "", "", "true"],
+            ["Size of overlap to search for in bases",
+             "Number of bases in each seed",
+             "Minimum number of seeds to generate for each overlap query",
+             "Maximum total unique seeds to use in each query batch",
+             "Size to chop long reads into for querying against, in bases",
+             "Maximum number of queries per batch (if max seeds not reached)",
+             "Minimum proportion of seeds that must match each query",
+             "Number of worker threads to spawn",
+             "Fasta/fastq input file",
+             "File containing values to use during seed selection.",
+             "Whether to cache all reads in memory"])
+
+    def run(self, args):
+        from ..io import SequenceSet
+        from ..seeds import SeedIndex
+        from ..overlap import Overlapper, QUERY_EDGES, build_consensus
+        from ..utils import kmer_occurrences
+        from ..utils.kmers import score_seed_values
+
+        overlap_size = parse_int(args["overlap_size"])
+        num_seeds = parse_int(args["num_seeds"])
+        seed_batch_size = parse_int(args["seed_batch_size"])
+        query_batch_size = parse_int(args["query_batch_size"])
+        chunk_size = parse_int(args["chunk_size"])
+        k = parse_int(args["k"])
+        hit_fraction = parse_float(args["min_hits"])
+
+        seq_set = SequenceSet(args["input"], min_length=overlap_size,
+                              cache=parse_bool(args["himem"]))
+        print(f"Counting all {k}-mers in the input...", file=sys.stderr)
+        counts = kmer_occurrences(seq_set.get_sequences(), k)
+        values = score_seed_values(counts, k, args.get("seed_values", ""))
+        print("Counting complete. Starting indexing and querying...",
+              file=sys.stderr)
+
+        first_sequence = 0
+        round_no = 0
+        while True:
+            index = SeedIndex(k)
+            overlapper = Overlapper(index, chunk_size, overlap_size,
+                                    num_seeds, hit_fraction)
+            seqs = seq_set.get_n_sequences_from(first_sequence,
+                                                query_batch_size)
+            queries = overlapper.prepare_queries(
+                num_seeds, seed_batch_size, values, seqs, QUERY_EDGES)
+            if not queries:
+                break
+            num_query_seqs = max(q.id for q in queries) + 1
+            first_sequence = max(q.sequence_id for q in queries) + 1
+            overlapper.add_sequences(seq_set.get_sequences())
+            print(f"Using query set with {num_query_seqs} sequences "
+                  f"starting from {first_sequence} against "
+                  f"{seq_set.size} sequences.", file=sys.stderr)
+            matches = overlapper.find_overlaps(queries)
+            query_results = [[] for _ in range(num_query_seqs)]
+            hits = 0
+            for m in matches:
+                query_results[m.query_id].append(m)
+                hits += 1
+            q_hits = sum(1 for r in query_results if len(r) > 1)
+            print(f"Total {hits} hits across {q_hits} overlaps.",
+                  file=sys.stderr)
+            for results in query_results:
+                if len(results) > 1:
+                    self._final_check(results, index, seq_set, overlap_size)
+            round_no += 1
+
+    def _final_check(self, results, index, seq_set, overlap_size):
+        """PAF emission + full-coverage ignore
+        (ref: commands/overlap.go:197-233)."""
+        from ..overlap import build_consensus
+        k = index.k
+        contig = build_consensus(index, results)
+        if contig is None or len(contig.parts) <= 1:
+            return
+        if contig.seq_lengths[0] <= overlap_size * 2:
+            seq_set.set_ignore(contig.parts[0], True)
+        query_start = contig.offsets[0]
+        query_end = query_start + contig.lengths[0]
+        for i, part in enumerate(contig.parts[1:]):
+            pid = i + 1
+            rc = "+"
+            start = contig.offsets[pid]
+            end = start + contig.lengths[pid]
+            if contig.reverse_complement[0] != contig.reverse_complement[pid]:
+                rc = "-"
+            covered = max(overlap_size, end - start)
+            if contig.seq_lengths[pid] * 9 <= covered * 10:
+                seq_set.set_ignore(part, True)
+            ident, _ = contig.matches[i].bases_covered(k)
+            print(f"{seq_set.get_name(contig.parts[0])}\t"
+                  f"{contig.seq_lengths[0]}\t{query_start}\t{query_end}\t"
+                  f"{rc}\t{seq_set.get_name(part)}\t"
+                  f"{contig.seq_lengths[pid]}\t{start}\t{end}\t{ident}\t"
+                  f"0\t255")
