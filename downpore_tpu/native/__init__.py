@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host kernels (native/seqscan.cpp).
+
+Compiles the shared library on first use (g++ -O3) and caches it next to
+the source; if no toolchain is available every entry point falls back to
+the numpy implementations in ``downpore_tpu.core``, so the native layer is
+an accelerator, never a requirement.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _source_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native",
+        "seqscan.cpp")
+
+
+def _lib_path() -> str:
+    return os.path.join("/tmp", "downpore_tpu_seqscan.so")
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Build (if needed) and load the native library; None when
+    unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = _source_path()
+    lib = _lib_path()
+    try:
+        if (not os.path.exists(lib)
+                or os.path.getmtime(lib) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 src, "-o", lib],
+                check=True, capture_output=True, timeout=120)
+        L = ctypes.CDLL(lib)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        L.encode_bases.argtypes = [u8p, ctypes.c_int64, u8p]
+        L.rolling_kmers.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, i32p]
+        L.count_seed_kmers.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                       u8p, ctypes.c_int64]
+        L.count_seed_kmers.restype = ctypes.c_int64
+        L.write_segments.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                     u8p, i32p, i32p]
+        L.write_segments.restype = ctypes.c_int64
+        L.index_fastq.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                  i64p, i64p, i64p, i64p, i64p]
+        L.index_fastq.restype = ctypes.c_int64
+        _LIB = L
+    except Exception as e:  # no toolchain / build failure -> numpy fallback
+        print(f"downpore_tpu.native: falling back to numpy ({e})",
+              file=sys.stderr)
+        _LIB = None
+    return _LIB
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def encode_bases(raw: bytes) -> Optional[np.ndarray]:
+    L = load()
+    if L is None:
+        return None
+    n = len(raw)
+    inp = np.frombuffer(raw, dtype=np.uint8)
+    out = np.empty(n, dtype=np.uint8)
+    L.encode_bases(_ptr(inp, ctypes.c_uint8), n, _ptr(out, ctypes.c_uint8))
+    return out
+
+
+def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
+    L = load()
+    if L is None:
+        return None
+    n = len(codes)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    tbl = np.ascontiguousarray(table, dtype=np.uint8)
+    gaps = np.empty(n + 1, dtype=np.int32)
+    kmers = np.empty(max(1, n), dtype=np.int32)
+    cnt = L.write_segments(_ptr(codes, ctypes.c_uint8), n, k,
+                           _ptr(tbl, ctypes.c_uint8),
+                           _ptr(gaps, ctypes.c_int32),
+                           _ptr(kmers, ctypes.c_int32))
+    g = np.empty(cnt + 1, dtype=np.int32)
+    g[:cnt] = gaps[:cnt]
+    g[cnt] = gaps[cnt]
+    return g, kmers[:cnt].copy()
+
+
+def index_fastq(buf: bytes):
+    """Record table for a single-line fastq buffer, or None."""
+    L = load()
+    if L is None:
+        return None
+    n = len(buf)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    max_rec = max(16, n // 8)
+    cols = [np.empty(max_rec, dtype=np.int64) for _ in range(5)]
+    cnt = L.index_fastq(_ptr(arr, ctypes.c_uint8), n, max_rec,
+                        *[_ptr(c, ctypes.c_int64) for c in cols])
+    if cnt < 0:
+        return None
+    return tuple(c[:cnt].copy() for c in cols)

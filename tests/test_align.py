@@ -189,3 +189,20 @@ def test_consensus_cost_prefers_truth():
     wrong[10:30] = (wrong[10:30] + 1) % 4
     cost_wrong = aligner.consensus_cost(rolling_kmers(wrong, k))
     assert cost_truth < cost_wrong
+
+
+def test_pallas_band_kernel_matches_oracle():
+    """The Pallas band kernel (interpret mode on CPU) against the numpy
+    oracle."""
+    from downpore_tpu.ops.pallas_band import pallas_update_bands
+    rng = np.random.default_rng(21)
+    B, W = 37, 32
+    ds = rng.integers(0, 40, (B, W)).astype(np.int32)
+    poffs = rng.integers(0, 500, (B, W)).astype(np.int32)
+    poffs[rng.random((B, W)) < 0.25] = BAND_FULL
+    out, m = pallas_update_bands(np.asarray(ds), np.asarray(poffs), 300,
+                                 interpret=True)
+    exp_out, exp_m = update_offsets_np(ds.astype(np.uint16),
+                                       poffs.astype(np.uint16), 300)
+    assert np.array_equal(np.asarray(m), exp_m.astype(np.int32))
+    assert np.array_equal(np.asarray(out), exp_out.astype(np.int32))
