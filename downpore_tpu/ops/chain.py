@@ -157,6 +157,196 @@ def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int,
     }
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant",
+                                              "top_k"))
+def chain_batch_summary(qseeds, qpos, tseeds, tpos, min_match, alen,
+                        k: int, max_anchors: int, variant: str = "extend",
+                        top_k: int = 4):
+    """Chain DP + on-device aggregation.
+
+    Instead of shipping every per-anchor array to the host (16 MB/call —
+    ruinous over a slow host link), this computes the quantities the
+    pipelines actually consume and returns ~100 bytes per pair:
+
+      best        length of the best chain
+      ident_cov_q max covered query bases over good chains (identity)
+      earliest    min over good anchors of (chain-start qp + tp)
+      latest      max over good anchors of (end_tp + alen - end_qp - k)
+      n_chains    number of distinct good chains (good start anchors)
+      top-K good chain starts: their (sqp, stp, eqp, etp, cov_q, cov_t,
+      length), ordered by coverage
+
+    ``min_match`` [P] and ``alen`` [P] are per-pair dynamic inputs; "good"
+    means a chain within 2/3 of the best and >= min_match long
+    (ref: seeds/sequence.go:434-465).
+    """
+    out = chain_batch(qseeds, qpos, tseeds, tpos, k=k,
+                      max_anchors=max_anchors, variant=variant)
+    through = out["through"]
+    valid = out["valid"]
+    big = jnp.int32(1 << 30)
+    best = jnp.max(jnp.where(valid, through, 0), axis=1)
+    thr = jnp.maximum(min_match[:, None], (best[:, None] * 2) // 3)
+    good = valid & (through >= thr) & (through >= min_match[:, None])
+    ident_cov_q = jnp.max(jnp.where(good, out["cov_q"], 0), axis=1)
+    starts_sum = out["start_qp"] + out["start_tp"]
+    earliest = jnp.min(jnp.where(good, starts_sum, big), axis=1)
+    ends = out["end_tp"] + (alen[:, None] - out["end_qp"] - k)
+    latest = jnp.max(jnp.where(good, ends, -big), axis=1)
+    is_start = good & (out["f"] == 1)
+    n_chains = jnp.sum(is_start, axis=1)
+    key = jnp.where(is_start, out["cov_q"], -1)
+    _, idx = jax.lax.top_k(key, top_k)
+    take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
+    return {
+        "best": best, "ident_cov_q": ident_cov_q, "earliest": earliest,
+        "latest": latest, "n_chains": n_chains,
+        "top_valid": take(key) >= 0,
+        "top_sqp": take(out["start_qp"]), "top_stp": take(out["start_tp"]),
+        "top_eqp": take(out["end_qp"]), "top_etp": take(out["end_tp"]),
+        "top_cov_q": take(out["cov_q"]), "top_cov_t": take(out["cov_t"]),
+        "top_len": take(through),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant",
+                                              "top_k"))
+def chain_summary_indexed(a_seeds, a_pos, a_len, aidx, mm, ts, tp,
+                          k: int, max_anchors: int,
+                          variant: str = "extend", top_k: int = 4):
+    """``chain_batch_summary`` with the query side resident on device.
+
+    ``a_seeds``/``a_pos`` are per-adapter tables ``[A, nq]`` that live on
+    the device across calls; each pair ships only its adapter index, its
+    min-match threshold and an int16 target list — an order of magnitude
+    less host->device traffic than re-sending padded query arrays every
+    call."""
+    qs = a_seeds[aidx].astype(jnp.int32)
+    qp = a_pos[aidx].astype(jnp.int32)
+    alen = a_len[aidx]
+    return chain_batch_summary(qs, qp, ts.astype(jnp.int32),
+                               tp.astype(jnp.int32), mm, alen, k=k,
+                               max_anchors=max_anchors, variant=variant,
+                               top_k=top_k)
+
+
+class DeviceAdapterTables:
+    """Device-resident padded adapter seed/position tables plus one
+    compiled indexed-summary entry point."""
+
+    def __init__(self, adapters, k: int, nq: int, seed_dtype=np.int16):
+        import jax as _jax
+        A = len(adapters)
+        seeds = np.full((A, nq), -1, seed_dtype)
+        pos = np.zeros((A, nq), np.int16)
+        alen = np.zeros(A, np.int32)
+        for i, ad in enumerate(adapters):
+            m = min(ad.num_seeds, nq)
+            seeds[i, :m] = ad.seeds[:m]
+            pos[i, :m] = ad.seed_positions(k)[:m]
+            alen[i] = ad.length
+        self.a_seeds = _jax.device_put(seeds)
+        self.a_pos = _jax.device_put(pos)
+        self.a_len = _jax.device_put(alen)
+        self.k = k
+        self.nq = nq
+
+    def run(self, aidx_list, mm_list, tseeds_list, tpos_list, nt: int,
+            max_anchors: int, variant: str = "extend", top_k: int = 4,
+            max_pairs: int = 8192):
+        """Sliced indexed summary over (adapter index, target list) pairs.
+
+        All slices are dispatched before any result is fetched, so
+        host packing, host->device transfers and device compute pipeline
+        instead of paying a full round trip per slice."""
+        P = len(aidx_list)
+        if P == 0:
+            return None
+
+        def pack16(lists, lo, n, PB, width, fill):
+            out = np.full((PB, width), fill, np.int16)
+            chunk = [np.asarray(lists[lo + i][:width]) for i in range(n)]
+            lens = np.fromiter((c.shape[0] for c in chunk), np.int64, n)
+            if lens.sum():
+                flat = np.concatenate(chunk)
+                rows = np.repeat(np.arange(n), lens)
+                ends = np.cumsum(lens)
+                cols = np.arange(lens.sum()) - np.repeat(ends - lens, lens)
+                out[rows, cols] = flat
+            return out
+
+        def dispatch(lo, hi):
+            n = hi - lo
+            PB = _bucket(n) if hi - lo < max_pairs else max_pairs
+            aidx = np.zeros(PB, np.int32)
+            aidx[:n] = aidx_list[lo:hi]
+            mm = np.ones(PB, np.int32)
+            mm[:n] = mm_list[lo:hi]
+            ts = pack16(tseeds_list, lo, n, PB, nt, -1)
+            tp = pack16(tpos_list, lo, n, PB, nt, 0)
+            return n, chain_summary_indexed(
+                self.a_seeds, self.a_pos, self.a_len, aidx, mm, ts, tp,
+                k=self.k, max_anchors=max_anchors,
+                variant=variant, top_k=top_k)
+
+        futures = [dispatch(lo, min(lo + max_pairs, P))
+                   for lo in range(0, P, max_pairs)]
+        parts = [{key: v[:n] for key, v in jax.device_get(out).items()}
+                 for n, out in futures]
+        if len(parts) == 1:
+            return parts[0]
+        return {key: np.concatenate([p[key] for p in parts])
+                for key in parts[0]}
+
+
+def run_chain_summary(qseeds_list, qpos_list, tseeds_list, tpos_list,
+                      min_match_list, alen_list, k: int, nq: int, nt: int,
+                      max_anchors: int, variant: str = "extend",
+                      top_k: int = 4, max_pairs: int = 2048):
+    """Host wrapper for ``chain_batch_summary`` with the same padding /
+    slicing behaviour as ``run_chain_batch``."""
+    P = len(qseeds_list)
+    if P == 0:
+        return None
+
+    def pack(lists, lo, n, PB, width, fill):
+        out = np.full((PB, width), fill, np.int32)
+        chunk = [np.asarray(lists[lo + i][:width]) for i in range(n)]
+        lens = np.fromiter((c.shape[0] for c in chunk), np.int64, n)
+        if lens.sum() == 0:
+            return out
+        flat = np.concatenate(chunk)
+        rows = np.repeat(np.arange(n), lens)
+        ends = np.cumsum(lens)
+        cols = np.arange(lens.sum()) - np.repeat(ends - lens, lens)
+        out[rows, cols] = flat
+        return out
+
+    def one(lo, hi):
+        n = hi - lo
+        PB = _bucket(n) if hi - lo < max_pairs else max_pairs
+        qs = pack(qseeds_list, lo, n, PB, nq, -1)
+        qp = pack(qpos_list, lo, n, PB, nq, 0)
+        ts = pack(tseeds_list, lo, n, PB, nt, -1)
+        tp = pack(tpos_list, lo, n, PB, nt, 0)
+        mm = np.ones(PB, np.int32)
+        mm[:n] = min_match_list[lo:hi]
+        al = np.zeros(PB, np.int32)
+        al[:n] = alen_list[lo:hi]
+        out = chain_batch_summary(qs, qp, ts, tp, mm, al, k=k,
+                                  max_anchors=max_anchors, variant=variant,
+                                  top_k=top_k)
+        out = jax.device_get(out)
+        return {key: v[:n] for key, v in out.items()}
+
+    if P <= max_pairs:
+        return one(0, P)
+    parts = [one(lo, min(lo + max_pairs, P))
+             for lo in range(0, P, max_pairs)]
+    return {key: np.concatenate([p[key] for p in parts])
+            for key in parts[0]}
+
+
 def extract_best_chain(out, pair_idx: int):
     """Recover the best chain's (query_seed_idx, target_seed_idx) lists by
     walking forward-pass backpointers from the best-scoring anchor."""
@@ -175,9 +365,25 @@ def extract_best_chain(out, pair_idx: int):
     return ma[::-1], mb[::-1]
 
 
+_FIXED_BUCKETS = None
+
+
+def _use_fixed_buckets() -> bool:
+    """On TPU (esp. via the tunnelled backend) every distinct jit shape is
+    a fresh, slow compile and no persistent cache applies — so pair batches
+    pad to one fixed size.  On CPU small power-of-two buckets keep tests
+    fast."""
+    global _FIXED_BUCKETS
+    if _FIXED_BUCKETS is None:
+        import jax
+        _FIXED_BUCKETS = jax.default_backend() == "tpu"
+    return _FIXED_BUCKETS
+
+
 def _bucket(n: int) -> int:
-    """Round a batch size up to a small set of buckets so jit caches stay
-    warm across calls."""
+    """Round a batch size up to a bucket so jit caches stay warm."""
+    if _use_fixed_buckets():
+        return 2048 if n <= 2048 else ((n + 2047) // 2048) * 2048
     b = 8
     while b < n:
         b *= 2

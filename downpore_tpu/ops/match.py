@@ -25,6 +25,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def hit_counts_packed(packed: jax.Array, membership: jax.Array) -> jax.Array:
+    """``[Q, S//8] uint8 (bit-packed rows) x [S, C] -> [Q, C]`` counts.
+
+    The query matrix ships to the device bit-packed (8x smaller host->device
+    transfer — decisive when the host link is slow) and unpacks on device
+    with shift/mask before the MXU matmul."""
+    Q, SB = packed.shape
+    bits = jnp.right_shift(packed[:, :, None],
+                           jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+    unpacked = bits.reshape(Q, SB * 8).astype(jnp.int8)
+    S = membership.shape[0]
+    return jax.lax.dot_general(
+        unpacked[:, :S], membership,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=())
 def hit_counts(query_multi: jax.Array, membership: jax.Array) -> jax.Array:
     """``[Q, S] x [S, C] -> [Q, C]`` shared-seed counts (int32).

@@ -29,7 +29,7 @@ import numpy as np
 from ..core.sequence import Sequence
 from ..seeds import SeedIndex
 from ..ops import match as match_ops
-from ..ops.chain import run_chain_batch
+from ..ops.window_engine import WindowChainEngine
 
 EDGE_SIZE = 150          # bases searched for edge adapters (trim.go:453)
 LONGEST_ADAPTER = 100    # padding around adapters mid-read (trim.go:153)
@@ -41,17 +41,6 @@ REINDEX_SEEDS = 300_000_000
 def _int_div(a: int, b: int) -> int:
     q = abs(a) // b
     return -q if a < 0 else q
-
-
-def _bucketed_hit_counts(E: np.ndarray, A: np.ndarray) -> np.ndarray:
-    """Pad the row dimension up to a power-of-two bucket before the device
-    matmul so jit shape caches stay warm across variable batch sizes."""
-    from ..ops.chain import _bucket
-    n = E.shape[0]
-    nb = _bucket(max(1, n))
-    if nb != n:
-        E = np.concatenate([E, np.zeros((nb - n, E.shape[1]), E.dtype)])
-    return np.asarray(match_ops.hit_counts(E, A))[:n]
 
 
 class _EdgeResult:
@@ -110,7 +99,7 @@ class Trimmer:
                     self.pairs_back[j] = pair_id
                     pair_id += 1
                     break
-        self._adapter_mats = None
+        self._engine_obj = None
 
     def set_trim_params(self, mid_threshold: int, extra_edge_trim: int,
                         extra_mid_trim: int, chunk_size: int,
@@ -131,63 +120,28 @@ class Trimmer:
         if self.verbosity >= level:
             print(*args, file=sys.stderr)
 
-    # -- adapter matrices for the MXU gate ------------------------------
-    def _matrices(self):
-        if self._adapter_mats is None:
-            S = self.index.num_seeds
-            F = np.zeros((S, len(self.front_sets)), dtype=np.int8)
-            for i, st in enumerate(self.front_sets):
-                F[st, i] = 1
-            B = np.zeros((S, len(self.back_sets)), dtype=np.int8)
-            for i, st in enumerate(self.back_sets):
-                B[st, i] = 1
-            self._adapter_mats = (F, B)
-        return self._adapter_mats
+    # -- the device engine ----------------------------------------------
+    WINDOW = 256  # unified window/edge width in bases (one compile shape)
 
-    # -- edge matching ---------------------------------------------------
-    def _edge_data(self, edges: List[Sequence]):
-        """Per edge: distinct-seed multi-hot row + the edge's (seed,
-        position) vectors for chaining.  One vectorized 2D k-mer scan for
-        the whole batch: the rolling k-mers of all edges at once, one
-        global nonzero for seed hits, ragged-split per edge."""
-        S = self.index.num_seeds
-        n = len(edges)
-        k = self.k
-        L = max((len(e) for e in edges), default=k)
-        codes = np.zeros((n, L), dtype=np.uint8)
-        lens = np.empty(n, dtype=np.int64)
-        for i, e in enumerate(edges):
-            m = len(e)
-            lens[i] = m
-            codes[i, :m] = e.codes
-        W = L - k + 1
-        kmers = np.zeros((n, W), dtype=np.int32)
-        c = codes.astype(np.int32)
-        for j in range(k):
-            kmers |= c[:, j : j + W] << (2 * (k - 1 - j))
-        valid = np.arange(W)[None, :] < (lens[:, None] - k + 1)
-        hit = self.index.kmer_table[kmers] & valid
-        rows, cols = np.nonzero(hit)
-        seeds = self.index.kmer_map[kmers[rows, cols]]
-        counts = np.bincount(rows, minlength=n)
-        offs = np.concatenate([[0], np.cumsum(counts)])
-        seed_lists = [seeds[offs[i] : offs[i + 1]] for i in range(n)]
-        pos_lists = [cols[offs[i] : offs[i + 1]].astype(np.int32)
-                     for i in range(n)]
-        E = np.zeros((n, S), dtype=np.int8)
-        E[rows, seeds] = 1
-        return E, seed_lists, pos_lists, E.view(bool)
+    def _engine(self) -> WindowChainEngine:
+        if self._engine_obj is None:
+            self._engine_obj = WindowChainEngine(
+                self.front_adapters, self.back_adapters,
+                self.front_sets, self.back_sets,
+                self.index.kmer_map, self.index.seed_map, self.k)
+        return self._engine_obj
 
+    # -- edge matching --------------------------------------------------
     def _match_edges(self, edges: List[Sequence], adapters, adapter_sets,
                      counts, min_match: int = 3,
                      collect_identity_only: bool = False):
         """Batched findMatches (ref: trim/trim.go:354-428).  Returns per
         edge an ``_EdgeResult`` plus per-(edge, adapter) identities."""
         n = len(edges)
-        E, seed_lists, pos_lists, kmer_sets = self._edge_data(edges)
-        F_all, B_all = self._matrices()
-        A = F_all if adapters is self.front_adapters else B_all
-        hits = _bucketed_hit_counts(E, A)  # [n, Nad]
+        front = adapters is self.front_adapters
+        eng = self._engine()
+        km_dev, lens_dev, _ = eng.upload(edges, self.WINDOW - self.k + 1)
+        hits = eng.gate(km_dev, lens_dev, front, n)[:, :len(adapters)]
         aset_sizes = np.array([max(1, len(s)) for s in adapter_sets])
         gate = ((hits * 10) // aset_sizes >= 2) | (hits >= 3)
 
@@ -198,52 +152,23 @@ class Trimmer:
             for i in range(n)]
         if pairs.shape[0] == 0:
             return results, per_edge_adapter_ident
-        qs_l, qp_l, ts_l, tp_l = [], [], [], []
-        for ei, ai in pairs:
-            ad = adapters[ai]
-            # mutual reduction by seed membership (no consecutive dedup)
-            amask = np.zeros(self.index.num_seeds, dtype=bool)
-            amask[adapter_sets[ai]] = True
-            akeep = kmer_sets[ei][ad.seeds]
-            apos = ad.seed_positions(self.k).astype(np.int32)
-            tkeep = amask[seed_lists[ei]]
-            qs_l.append(ad.seeds[akeep])
-            qp_l.append(apos[akeep])
-            ts_l.append(seed_lists[ei][tkeep])
-            tp_l.append(pos_lists[ei][tkeep])
-        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
-                              nq=64, nt=96, max_anchors=128)
-        through = out["through"]
-        valid = out["valid"]
-        f = out["f"]
+        out = eng.chain(km_dev, lens_dev, pairs[:, 0], pairs[:, 1],
+                        np.full(len(pairs), min_match), front)
 
         # per-edge aggregation following findMatches' in-order walk
         edge_state = {}
         for pi, (ei, ai) in enumerate(pairs):
             ei, ai = int(ei), int(ai)
             ad = adapters[ai]
-            alen = ad.length
-            best = int(through[pi].max(initial=0))
-            if best < min_match:
+            if out["n_chains"][pi] == 0:
                 continue
-            thr = max(min_match, (best * 2) // 3)
-            good = valid[pi] & (through[pi] >= thr)
-            if not good.any():
-                continue
-            cov = out["cov_q"][pi]
-            identity = _int_div(int(cov[good].max()) * 100, alen)
+            identity = _int_div(int(out["ident_cov_q"][pi]) * 100, ad.length)
             per_edge_adapter_ident[(ei, ai)] = identity
-            starts = out["start_tp"][pi][good] + out["start_qp"][pi][good]
-            ends = out["end_tp"][pi][good] + \
-                (alen - out["end_qp"][pi][good] - self.k)
             st = edge_state.setdefault(
                 ei, {"earliest": len(edges[ei]), "latest": 0, "found": False,
                      "best_ident": 0, "best_match": 0, "barcoded": False,
                      "ambiguous": False})
-            # chain count for stats: distinct chain starts among good anchors
-            n_chains = max(1, len(np.unique(
-                out["start_tp"][pi][good] * 100000 + out["start_qp"][pi][good])))
-            counts[ai] += n_chains
+            counts[ai] += int(out["n_chains"][pi])
             is_barcode = ad.get_name().startswith("Barcode")
             if not st["barcoded"] and is_barcode:
                 st["barcoded"] = True
@@ -259,8 +184,8 @@ class Trimmer:
             elif identity > st["best_ident"]:
                 st["best_ident"] = identity
                 st["best_match"] = ai
-            start = max(0, int(starts.min()))
-            end = min(len(edges[ei]), int(ends.max()))
+            start = max(0, int(out["earliest"][pi]))
+            end = min(len(edges[ei]), int(out["latest"][pi]))
             st["earliest"] = min(st["earliest"], start)
             st["latest"] = max(st["latest"], end)
             st["found"] = True
@@ -317,39 +242,24 @@ class Trimmer:
     def _check_full_match(self, edges, adapters, adapter_sets, threshold,
                           enabled):
         """Batched isNewFullMatch (ref: trim/trim.go:326-352)."""
-        E, seed_lists, pos_lists, kmer_sets = self._edge_data(edges)
-        F_all, B_all = self._matrices()
-        A = F_all if adapters is self.front_adapters else B_all
-        hits = _bucketed_hit_counts(E, A)
-        qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
-        for ei in range(len(edges)):
-            for ai in range(len(adapters)):
-                if enabled[ai]:
-                    continue
-                min_hits = len(adapter_sets[ai]) // 2
-                if hits[ei, ai] < min_hits:
-                    continue
-                ad = adapters[ai]
-                amask = np.zeros(self.index.num_seeds, dtype=bool)
-                amask[adapter_sets[ai]] = True
-                akeep = kmer_sets[ei][ad.seeds]
-                apos = ad.seed_positions(self.k).astype(np.int32)
-                tkeep = amask[seed_lists[ei]]
-                qs_l.append(ad.seeds[akeep])
-                qp_l.append(apos[akeep])
-                ts_l.append(seed_lists[ei][tkeep])
-                tp_l.append(pos_lists[ei][tkeep])
-                metas.append((ei, ai, min_hits))
-        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
-                              nq=64, nt=96, max_anchors=128)
+        front = adapters is self.front_adapters
+        eng = self._engine()
+        km_dev, lens_dev, _ = eng.upload(edges, self.WINDOW - self.k + 1)
+        hits = eng.gate(km_dev, lens_dev, front, len(edges))[:, :len(adapters)]
+        min_hits_v = np.array([len(st) // 2 for st in adapter_sets])
+        gate = hits >= np.maximum(min_hits_v, 1)
+        gate[:, [i for i, en in enumerate(enabled) if en]] = False
+        pairs = np.argwhere(gate)
+        metas = [(int(ei), int(ai)) for ei, ai in pairs]
+        out = eng.chain(km_dev, lens_dev, pairs[:, 0], pairs[:, 1],
+                        np.maximum(min_hits_v[pairs[:, 1]], 1), front) \
+            if len(pairs) else None
         if out is None:
             return
-        for pi, (ei, ai, min_hits) in enumerate(metas):
-            best = int(out["through"][pi].max(initial=0))
-            if best < max(1, min_hits):
+        for pi, (ei, ai) in enumerate(metas):
+            if out["n_chains"][pi] == 0:
                 continue
-            good = out["valid"][pi] & (out["through"][pi] >= best)
-            cov = int(out["cov_q"][pi][good].max())
+            cov = int(out["ident_cov_q"][pi])
             if _int_div(cov * 100, adapters[ai].length) >= threshold:
                 enabled[ai] = True
 
@@ -423,8 +333,8 @@ class Trimmer:
         logic and thresholds are the reference's."""
         splits = {}
         windows: List[Sequence] = []
-        win = 2 * LONGEST_ADAPTER
-        step = LONGEST_ADAPTER
+        win = 256
+        step = win - LONGEST_ADAPTER - self.k  # any adapter fits one window
         detections = []
         for seq in seqs.get_sequences():
             n = len(seq)
@@ -460,14 +370,13 @@ class Trimmer:
         adapters; returns (read_id, adapter_idx, start_in_original_read,
         identity, original_length) detections with identity >=
         mid_threshold."""
-        E, seed_lists, pos_lists, kmer_sets = self._edge_data(windows)
-        F_all, _ = self._matrices()
-        hits = _bucketed_hit_counts(E, F_all)
+        eng = self._engine()
+        km_dev, lens_dev, _ = eng.upload(windows, self.WINDOW - self.k + 1)
+        hits = eng.gate(km_dev, lens_dev, True, len(windows))[
+            :, :len(self.front_adapters)]
         # a chain of L anchors covers at most L*k bases of the adapter, so
         # reaching mid_threshold% identity needs L >= ceil(thr*len/(100*k))
-        # distinct shared seeds; the matmul gate can demand that outright —
-        # far stricter than the reference's 0.2 hit fraction over whole
-        # chunks without losing any split the identity filter could accept
+        # distinct shared seeds; the matmul gate can demand that outright
         min_matches = np.array([
             max(3, ad.num_seeds // 5,
                 -(-self.mid_threshold * ad.length // (100 * self.k)))
@@ -476,52 +385,26 @@ class Trimmer:
         pairs = np.argwhere(gate)
         if pairs.shape[0] == 0:
             return []
-        qs_l, qp_l, ts_l, tp_l = [], [], [], []
-        apos_cache = {}
-        amask_cache = {}
-        for ei, ai in pairs:
-            ad = self.front_adapters[ai]
-            if ai not in apos_cache:
-                apos_cache[ai] = ad.seed_positions(self.k).astype(np.int32)
-                am = np.zeros(self.index.num_seeds, dtype=bool)
-                am[self.front_sets[ai]] = True
-                amask_cache[ai] = am
-            # reduce the window to the adapter's seeds: noise pairs shrink
-            # to a handful of positions and the DP batch stays tiny
-            tkeep = amask_cache[ai][seed_lists[ei]]
-            qs_l.append(ad.seeds)
-            qp_l.append(apos_cache[ai])
-            ts_l.append(seed_lists[ei][tkeep])
-            tp_l.append(pos_lists[ei][tkeep])
-        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, self.k,
-                              nq=64, nt=64, max_anchors=64)
+        out = eng.chain(km_dev, lens_dev, pairs[:, 0], pairs[:, 1],
+                        np.maximum(min_matches[pairs[:, 1]] // 1, 1), True)
         detections = []
         for pi, (ei, ai) in enumerate(pairs):
             ei, ai = int(ei), int(ai)
             ad = self.front_adapters[ai]
-            min_match = max(1, ad.num_seeds // 5)
-            best = int(out["through"][pi].max(initial=0))
-            if best < min_match:
-                continue
-            thr = max(min_match, (best * 2) // 3)
-            good = out["valid"][pi] & (out["through"][pi] >= thr)
-            if not good.any():
+            if out["n_chains"][pi] == 0:
                 continue
             w = windows[ei]
             orig_len = len(w) + w.offset + w.inset
-            sq = out["start_qp"][pi][good]
-            stp = out["start_tp"][pi][good]
-            cov = out["cov_q"][pi][good]
-            starts = {}
-            for j in range(len(sq)):
-                key = (int(sq[j]), int(stp[j]))
-                starts[key] = max(starts.get(key, 0), int(cov[j]))
-            for (sqp, stpp), best_cov in starts.items():
-                identity = _int_div(best_cov * 100, ad.length)
+            for j in range(out["top_valid"].shape[1]):
+                if not out["top_valid"][pi][j]:
+                    continue
+                identity = _int_div(int(out["top_cov_q"][pi][j]) * 100,
+                                    ad.length)
                 if identity < self.mid_threshold:
                     continue
-                detections.append((w.id, ai, w.offset + stpp - sqp,
-                                   identity, orig_len))
+                start = int(out["top_stp"][pi][j]) - int(out["top_sqp"][pi][j])
+                detections.append((w.id, ai, w.offset + start, identity,
+                                   orig_len))
         return detections
 
     def _record_split(self, seqs, splits, ad, rid, start, orig_len):
