@@ -27,7 +27,7 @@ import numpy as np
 
 N_READS = 4096
 READ_LEN = 3000
-BATCH = 512
+BATCH = 2048
 SEED = 1234
 
 

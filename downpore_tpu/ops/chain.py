@@ -54,6 +54,44 @@ def make_anchors(qseeds, qpos, tseeds, tpos, max_anchors: int):
             "overflow": overflow}
 
 
+def make_anchors_topk(qseeds, qpos, tseeds, tpos, per_seed: int = 2):
+    """Anchor enumeration capped at ``per_seed`` occurrences per query
+    seed — no sort/cumsum (memory-lean, for big fused batches).
+
+    Returns the same dict as ``make_anchors`` with
+    ``max_anchors = NQ * per_seed`` anchors in (i, j) row-major order.  A
+    query seed repeated more than ``per_seed`` times in the target
+    contributes only its first occurrences; chains through later repeats
+    are lost (rare, and the DP has the earlier candidates).
+    """
+    P, NQ = qseeds.shape
+    eq = (qseeds[:, :, None] == tseeds[:, None, :]) \
+        & (qseeds[:, :, None] >= 0) & (tseeds[:, None, :] >= 0)
+    js = []
+    cur = eq
+    for _ in range(per_seed):
+        j = jnp.argmax(cur, axis=2)                      # [P, NQ]
+        hit = jnp.take_along_axis(cur, j[:, :, None], 2)[:, :, 0]
+        js.append((j, hit))
+        cur = cur & (jax.lax.broadcasted_iota(jnp.int32, eq.shape, 2)
+                     != j[:, :, None])
+    qi = jnp.broadcast_to(jnp.arange(NQ)[None, :, None],
+                          (P, NQ, per_seed))
+    tj = jnp.stack([j for j, _ in js], axis=2)           # [P, NQ, per_seed]
+    valid = jnp.stack([h for _, h in js], axis=2)
+    A = NQ * per_seed
+    qi = qi.reshape(P, A).astype(jnp.int32)
+    tj = tj.reshape(P, A).astype(jnp.int32)
+    valid = valid.reshape(P, A)
+    qi = jnp.where(valid, qi, -1)
+    qp = jnp.where(valid, jnp.take_along_axis(qpos, jnp.clip(
+        qi, 0), axis=1), 0).astype(jnp.int32)
+    tp = jnp.where(valid, jnp.take_along_axis(tpos, jnp.clip(
+        tj, 0), axis=1), 0).astype(jnp.int32)
+    return {"qi": qi, "tj": tj, "qp": qp, "tp": tp, "valid": valid,
+            "overflow": jnp.sum(eq, axis=(1, 2)) - jnp.sum(valid, axis=1)}
+
+
 def _window_ok(gap_q, gap_t, k, variant: str = "extend"):
     """Gap compatibility windows.
 
@@ -117,12 +155,10 @@ def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend"):
     return jax.lax.fori_loop(0, n, body, init)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant"))
-def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int,
-                variant: str = "extend"):
-    """Forward + backward chain DP over a padded batch of pairs.
+def dp_from_anchors(anchors, k: int, variant: str = "extend"):
+    """Forward + backward chain DP over a prepared anchor batch.
 
-    Returns a dict of ``[P, max_anchors]`` arrays:
+    Returns a dict of ``[P, A]`` arrays:
       qi, tj, qp, tp   anchor coordinates (seed indices / base positions)
       f, b             best chain length ending at / starting from anchor
       through          f + b - 1 (length of best chain passing through)
@@ -131,7 +167,6 @@ def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int,
       end_qp/tp        positions of the through-chain's last anchor
       bp               forward-pass predecessor (-1 at chain starts)
     """
-    anchors = make_anchors(qseeds, qpos, tseeds, tpos, max_anchors)
     qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
                              anchors["tp"], anchors["valid"])
 
@@ -155,6 +190,14 @@ def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int,
         "end_qp": e_qp, "end_tp": e_tp,
         "bp": bp,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant"))
+def chain_batch(qseeds, qpos, tseeds, tpos, k: int, max_anchors: int,
+                variant: str = "extend"):
+    """make_anchors + dp_from_anchors (see dp_from_anchors docstring)."""
+    anchors = make_anchors(qseeds, qpos, tseeds, tpos, max_anchors)
+    return dp_from_anchors(anchors, k, variant)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant",
@@ -182,6 +225,12 @@ def chain_batch_summary(qseeds, qpos, tseeds, tpos, min_match, alen,
     """
     out = chain_batch(qseeds, qpos, tseeds, tpos, k=k,
                       max_anchors=max_anchors, variant=variant)
+    return summarize_dp(out, min_match, alen, k, top_k)
+
+
+def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
+    """On-device aggregation of a DP output dict into the packed summary
+    array (see chain_batch_summary)."""
     through = out["through"]
     valid = out["valid"]
     big = jnp.int32(1 << 30)
@@ -198,15 +247,35 @@ def chain_batch_summary(qseeds, qpos, tseeds, tpos, min_match, alen,
     key = jnp.where(is_start, out["cov_q"], -1)
     _, idx = jax.lax.top_k(key, top_k)
     take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
-    return {
-        "best": best, "ident_cov_q": ident_cov_q, "earliest": earliest,
-        "latest": latest, "n_chains": n_chains,
-        "top_valid": take(key) >= 0,
-        "top_sqp": take(out["start_qp"]), "top_stp": take(out["start_tp"]),
-        "top_eqp": take(out["end_qp"]), "top_etp": take(out["end_tp"]),
-        "top_cov_q": take(out["cov_q"]), "top_cov_t": take(out["cov_t"]),
-        "top_len": take(through),
-    }
+    # one packed int32 array -> a single device->host fetch per slice
+    packed = jnp.concatenate([
+        best[:, None], ident_cov_q[:, None], earliest[:, None],
+        latest[:, None], n_chains[:, None],
+        (take(key) >= 0).astype(jnp.int32),
+        take(out["start_qp"]), take(out["start_tp"]),
+        take(out["end_qp"]), take(out["end_tp"]),
+        take(out["cov_q"]), take(out["cov_t"]), take(through),
+    ], axis=1)
+    return packed
+
+
+SUMMARY_SCALARS = ["best", "ident_cov_q", "earliest", "latest", "n_chains"]
+SUMMARY_TOPS = ["top_valid", "top_sqp", "top_stp", "top_eqp", "top_etp",
+                "top_cov_q", "top_cov_t", "top_len"]
+
+
+def unpack_summary(packed: np.ndarray, top_k: int = 4) -> dict:
+    """Split the packed summary array back into the named dict."""
+    out = {}
+    c = 0
+    for name in SUMMARY_SCALARS:
+        out[name] = packed[:, c]
+        c += 1
+    for name in SUMMARY_TOPS:
+        out[name] = packed[:, c : c + top_k]
+        c += top_k
+    out["top_valid"] = out["top_valid"].astype(bool)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant",
@@ -291,7 +360,7 @@ class DeviceAdapterTables:
 
         futures = [dispatch(lo, min(lo + max_pairs, P))
                    for lo in range(0, P, max_pairs)]
-        parts = [{key: v[:n] for key, v in jax.device_get(out).items()}
+        parts = [unpack_summary(np.asarray(out)[:n])
                  for n, out in futures]
         if len(parts) == 1:
             return parts[0]
@@ -336,8 +405,7 @@ def run_chain_summary(qseeds_list, qpos_list, tseeds_list, tpos_list,
         out = chain_batch_summary(qs, qp, ts, tp, mm, al, k=k,
                                   max_anchors=max_anchors, variant=variant,
                                   top_k=top_k)
-        out = jax.device_get(out)
-        return {key: v[:n] for key, v in out.items()}
+        return unpack_summary(np.asarray(out)[:n], top_k)
 
     if P <= max_pairs:
         return one(0, P)

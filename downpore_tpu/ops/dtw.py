@@ -1,0 +1,209 @@
+"""Device beam-search DTW consensus — the bulk-throughput engine.
+
+The host engine (``align.dtw``) reproduces the reference's sequential
+landmark beam exactly; this engine re-expresses consensus as a
+fixed-width beam search that runs entirely on device and vmaps over many
+consensus jobs at once — the shape a TPU wants for the correct pipeline's
+thousands of pileup windows.
+
+Per step, for every beam state and each of its 4 k-mer extensions, the
+32-wide cost band of every member sequence updates with the same
+step/stay/skip recurrence as the reference kernel
+(ref: sequence/alignment/asm_amd64.s, via ``align.band`` semantics);
+extensions with no exact k-mer support anywhere are pruned (the
+reference's vote rule, alignment.go:714), quality decays 0.95 on
+non-matching members (alignment.go:684), drifting bands recentre
+(alignment.go:245), and the beam keeps the B cheapest states.  Landmarks
+are replaced by the fixed-width beam itself: with B >= 8 the anchor
+states the reference protects via landmarks stay in the beam.  The
+consensus is recovered from recorded (k-mer, parent) arrays on the host.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = np.int32(1 << 28)
+FULL = 0xFFFF
+
+
+def _band_update(poffs, ds, threshold):
+    """Vectorized band update over [..., W] (see align.band)."""
+    full = jnp.int32(FULL)
+    sat = lambda x: jnp.minimum(x, full)
+    pad = jnp.full(poffs.shape[:-1] + (1,), full, jnp.int32)
+    step = poffs
+    stay = jnp.concatenate([poffs[..., 1:], pad], axis=-1)
+    pd = sat(poffs + ds)
+    skip1 = jnp.concatenate([pad, pd[..., :-1]], axis=-1)
+    two = sat(pd[..., :-1] + ds[..., 1:])
+    skip2 = jnp.concatenate([pad, pad, two[..., :-1]], axis=-1)
+    best = jnp.minimum(jnp.minimum(step, stay), jnp.minimum(skip1, skip2))
+    raw = sat(best + ds)
+    m = raw.min(axis=-1)
+    out = jnp.maximum(raw - m[..., None], 0)
+    out = jnp.where(out >= threshold, full, out)
+    return out, m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "beam", "t_max", "threshold",
+                                    "gap_cost"))
+def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
+                     beam: int = 16, t_max: int = 256,
+                     threshold: int = 300, gap_cost: int = 8):
+    """One consensus job on device.
+
+    seq_kmers: [N, L] int32 (pad -1); lens: [N]; table: [4^k, 4^k] uint16
+    distance table; first_kmer: starting k-mer.  Returns
+    (kmers [t_max, beam], parents [t_max, beam], costs [beam],
+    finished_at [beam]) for host traceback.
+    """
+    N, L = seq_kmers.shape
+    W = 32
+    centre = W // 2
+    mask = (1 << (2 * k)) - 1
+    INIT = 8  # initialOffset (ref: alignment.go:15)
+
+    # initial state: all beams identical, one live
+    offsets0 = jnp.full((N, W), gap_cost, jnp.int32)
+    offsets0 = offsets0.at[:, :INIT].set(FULL)
+    match0 = (seq_kmers[:, 0] == first_kmer)
+    offsets0 = offsets0.at[:, INIT].set(jnp.where(match0, 0, gap_cost))
+    state = {
+        "kmer": jnp.full(beam, first_kmer, jnp.int32),
+        "offsets": jnp.broadcast_to(offsets0, (beam, N, W)).astype(jnp.int32),
+        "positions": jnp.full((beam, N), INIT, jnp.int32),
+        "cost": jnp.where(jnp.arange(beam) == 0, 0, BIG),
+        "quality": jnp.ones((beam, N), jnp.float32),
+        "finished": jnp.zeros(beam, bool),
+    }
+
+    def step(state, _):
+        kmer = state["kmer"]
+        shifted = (kmer << 2) & mask
+        nextk = shifted[:, None] | jnp.arange(4)[None, :]      # [B, 4]
+        pos = state["positions"][:, None, :] + 1               # [B, 1, N]
+        pos = jnp.broadcast_to(pos, (beam, 4, N))
+        # window sequence kmers: [B, 4, N, W]
+        widx = pos[..., None] - centre + jnp.arange(W)
+        inb = (widx >= 0) & (widx < lens[None, None, :, None])
+        km_at = jnp.take_along_axis(
+            jnp.broadcast_to(seq_kmers, (beam, 4, N, L)),
+            jnp.clip(widx, 0, L - 1), axis=3)
+        ds = table[nextk[:, :, None, None], jnp.clip(km_at, 0)].astype(jnp.int32)
+        ds = jnp.where(inb & (km_at >= 0), ds, BIG // 64)
+        poffs = jnp.broadcast_to(state["offsets"][:, None], (beam, 4, N, W))
+        out, m = _band_update(poffs, ds, threshold)              # [B,4,N,W], [B,4,N]
+        seq_cost = jnp.sum(m, axis=2)                            # [B, 4]
+        # votes: an exact match (ds==0 with live lane) anywhere in a member
+        exact = jnp.any((ds == 0) & (out < FULL), axis=3)        # [B, 4, N]
+        vote_w = jnp.floor(8.0 * state["quality"] + 0.5)         # [B, N]
+        vote_sum = jnp.sum(jnp.where(exact, vote_w[:, None, :], 0.0), axis=2)
+        cost = state["cost"][:, None] + seq_cost
+        cost = jnp.where(vote_sum > 0, cost, BIG)
+        cost = jnp.where(state["finished"][:, None],
+                         jnp.where(jnp.arange(4)[None, :] == 0,
+                                   state["cost"][:, None], BIG), cost)
+        # beam select over B*4 flattened successors
+        flat_cost = cost.reshape(-1)
+        _, top = jax.lax.top_k(-flat_cost, beam)
+        parent = top // 4
+        branch = top % 4
+        sel = lambda a: a[parent]
+        new_kmer = nextk[parent, branch]
+        new_off = out[parent, branch]                            # [B, N, W]
+        new_pos = pos[parent, branch]
+        new_quality = jnp.where(exact[parent, branch],
+                                1.0, state["quality"][parent] * 0.95)
+        # frozen finished states carry through unchanged
+        fin = state["finished"][parent]
+        new_kmer = jnp.where(fin, state["kmer"][parent], new_kmer)
+        new_off = jnp.where(fin[:, None, None], state["offsets"][parent],
+                            new_off)
+        new_pos = jnp.where(fin[:, None], state["positions"][parent], new_pos)
+        new_quality = jnp.where(fin[:, None], state["quality"][parent],
+                                new_quality)
+        # drift recentring (ref: alignment.go:245-273)
+        bp = jnp.argmin(new_off, axis=2)                         # [B, N]
+        drift = centre - bp
+        do = (jnp.abs(drift) > 4) & ~fin[:, None]
+        shift = jnp.where(do, drift, 0)
+        lane = jnp.arange(W)
+        src = lane[None, None, :] - shift[:, :, None]
+        shifted_off = jnp.take_along_axis(new_off,
+                                          jnp.clip(src, 0, W - 1), axis=2)
+        shifted_off = jnp.where((src < 0) | (src >= W), FULL, shifted_off)
+        new_off = jnp.where(do[:, :, None], shifted_off, new_off)
+        new_pos = new_pos - shift
+        # finished: any member's best lane reaches its end
+        best_lane = jnp.argmin(new_off, axis=2)
+        seq_pos = new_pos + best_lane - centre
+        new_fin = fin | jnp.any(seq_pos >= lens[None, :] - 1, axis=1)
+        new_state = {
+            "kmer": new_kmer, "offsets": new_off, "positions": new_pos,
+            "cost": flat_cost[top], "quality": new_quality,
+            "finished": new_fin,
+        }
+        rec = (new_kmer, parent.astype(jnp.int32), new_fin,
+               flat_cost[top])
+        return new_state, rec
+
+    final, (kmers, parents, fin_at, costs) = jax.lax.scan(
+        step, state, None, length=t_max)
+    return kmers, parents, fin_at, costs, final["cost"]
+
+
+def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
+                    k: int, beam: int = 16, threshold: int = 300,
+                    gap_cost: int = 8) -> np.ndarray:
+    """Host wrapper: pad one job, run the device beam, trace back the
+    cheapest finished state.  Returns the consensus k-mer array."""
+    N = len(seq_kmers_list)
+    L = max(len(s) for s in seq_kmers_list)
+    seq = np.full((N, L), -1, np.int32)
+    lens = np.zeros(N, np.int32)
+    for i, s in enumerate(seq_kmers_list):
+        seq[i, : len(s)] = s
+        lens[i] = len(s)
+    # majority first kmer (the reference tries every distinct first kmer;
+    # the beam converges from the most common one)
+    firsts = [int(s[0]) for s in seq_kmers_list if len(s)]
+    first = max(set(firsts), key=firsts.count)
+    t_max = int(L * 1.3) + 32
+    t_max = ((t_max + 31) // 32) * 32
+    kmers, parents, fin_at, costs, final_cost = device_consensus(
+        seq, lens, np.asarray(table, np.uint16), first, k=k, beam=beam,
+        t_max=t_max, threshold=threshold, gap_cost=gap_cost)
+    kmers = np.asarray(kmers)
+    parents = np.asarray(parents)
+    fin_at = np.asarray(fin_at)
+    costs = np.asarray(costs)
+    # first step at which each beam slot finished, then cheapest such slot
+    t_end, b_end = None, None
+    best_cost = None
+    for t in range(kmers.shape[0]):
+        done = np.flatnonzero(fin_at[t])
+        if done.size:
+            c = costs[t][done]
+            j = done[np.argmin(c)]
+            if best_cost is None or c.min() < best_cost:
+                best_cost = c.min()
+                t_end, b_end = t, int(j)
+            break
+    if t_end is None:
+        t_end = kmers.shape[0] - 1
+        b_end = int(np.argmin(costs[-1]))
+    out = [first]
+    t, b = t_end, b_end
+    chain = []
+    while t >= 0:
+        chain.append(int(kmers[t, b]))
+        b = int(parents[t, b])
+        t -= 1
+    chain.reverse()
+    return np.array(out + chain, dtype=np.int32)

@@ -60,6 +60,66 @@ def _chain_from_windows(a_seeds, a_pos, a_len, kmer2seed, kmers_dev,
                                variant=variant, top_k=top_k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t",
+                                              "top_k"))
+def _fused_match(kmers, lens, km_table, gate_min, chain_min,
+                 a_seeds, a_pos, a_len, kmer2seed,
+                 k: int, max_anchors: int, top_t: int = 4,
+                 top_k: int = 4):
+    """Gate + adapter selection + chain + summary in ONE device call.
+
+    Host<->device round trips cost ~1 s each over a tunnelled TPU, so the
+    whole per-batch pipeline fuses: per window the top ``top_t`` adapters
+    by gate count are selected on device (the reference checks every
+    passing adapter; windows with more than top_t genuine adapters are
+    vanishingly rare), failing pairs chain with an impossible min-match,
+    and one packed [n, top_t, M+1] array comes back.
+    """
+    from .chain import make_anchors_topk, dp_from_anchors, summarize_dp
+    counts = _gate_counts(kmers, lens, km_table)        # [n, A]
+    cvals, cai = jax.lax.top_k(counts, top_t)           # [n, T]
+    ok = cvals >= gate_min[cai]
+    n = kmers.shape[0]
+    ei_all = jnp.broadcast_to(jnp.arange(n)[:, None],
+                              (n, top_t)).reshape(-1)
+    ai_all = cai.reshape(-1)
+    BIGM = jnp.int32(1 << 20)
+    mm_all = jnp.where(ok.reshape(-1), chain_min[ai_all], BIGM)
+
+    # process pairs in fixed chunks inside this one dispatch: bounds the
+    # [chunk, NQ, W] anchor intermediates instead of materializing them
+    # for every pair at once
+    P = n * top_t
+    CHUNK = 4096
+    PC = ((P + CHUNK - 1) // CHUNK) * CHUNK
+    pad = lambda a, fill: jnp.concatenate(
+        [a, jnp.full(PC - P, fill, a.dtype)]) if PC != P else a
+    ei_all = pad(ei_all, 0)
+    ai_all = pad(ai_all, 0)
+    mm_all = pad(mm_all, BIGM)
+
+    def process(args):
+        ei, ai, mm = args
+        qs = a_seeds[ai].astype(jnp.int32)
+        qp = a_pos[ai].astype(jnp.int32)
+        alen = a_len[ai]
+        km = kmers[ei].astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, km.shape, 1)
+        valid = pos < lens[ei][:, None]
+        ts = jnp.where(valid, jnp.take(kmer2seed, jnp.clip(km, 0)), -1)
+        anchors = make_anchors_topk(qs, qp, ts, pos, per_seed=2)
+        out = dp_from_anchors(anchors, k)
+        return summarize_dp(out, mm, alen, k, top_k)
+
+    C = PC // CHUNK
+    packed = jax.lax.map(process, (ei_all.reshape(C, CHUNK),
+                                   ai_all.reshape(C, CHUNK),
+                                   mm_all.reshape(C, CHUNK)))
+    packed = packed.reshape(PC, -1)[:P]
+    out = jnp.concatenate([ai_all[:P, None], packed], axis=1)
+    return out.reshape(n, top_t, -1)
+
+
 class WindowChainEngine:
     """Per-Trimmer device state: adapter seed tables, kmer->seed map and
     kmer->adapter membership tables."""
@@ -123,9 +183,46 @@ class WindowChainEngine:
         counts = _gate_counts(kmers_dev, lens_dev, table)
         return np.asarray(counts)[:n]
 
+    def match(self, windows, front: bool, gate_min: np.ndarray,
+              chain_min: np.ndarray, W: int, top_t: int = 8,
+              max_anchors: int = 128, batch: int = 16384):
+        """Fused gate+chain for a whole window list; returns for each
+        window a list of (adapter_idx, summary_row dict) for its passing
+        top-``top_t`` adapters.  One device round trip per ``batch``."""
+        from .chain import unpack_summary
+        table = self._front_km if front else self._back_km
+        a_seeds, a_pos, a_len = self.front if front else self.back
+        A = a_len.shape[0]
+        gm = np.full(table.shape[1], 1 << 20, np.int32)
+        gm[:A] = gate_min[:A]
+        cm = np.ones(table.shape[1], np.int32)
+        cm[:A] = chain_min[:A]
+        futures = []
+        for lo in range(0, len(windows), batch):
+            sub = windows[lo : lo + batch]
+            km_dev, lens_dev, n = self.upload(sub, W)
+            futures.append((n, _fused_match(
+                km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
+                self.kmer2seed, k=self.k, max_anchors=max_anchors,
+                top_t=top_t)))
+        results = []
+        for n, fut in futures:
+            arr = np.asarray(fut)[:n]       # [n, T, M+1]
+            T = arr.shape[1]
+            flat = unpack_summary(arr[:, :, 1:].reshape(n * T, -1))
+            for i in range(n):
+                row = []
+                for t in range(T):
+                    j = i * T + t
+                    if flat["n_chains"][j] > 0:
+                        row.append((int(arr[i, t, 0]),
+                                    {key: v[j] for key, v in flat.items()}))
+                results.append(row)
+        return results
+
     def chain(self, kmers_dev, lens_dev, pair_ei, pair_ai, pair_mm,
               front: bool, max_anchors: int = 128,
-              max_pairs: int = 8192):
+              max_pairs: int = 16384):
         """Indexed chain summary over (window, adapter) pairs; only the
         index arrays travel to the device.  All slices dispatch before any
         result is fetched so transfers and compute pipeline."""
@@ -149,7 +246,8 @@ class WindowChainEngine:
 
         futures = [dispatch(lo, min(lo + max_pairs, P))
                    for lo in range(0, P, max_pairs)]
-        parts = [{key: v[:n] for key, v in jax.device_get(out).items()}
+        from .chain import unpack_summary
+        parts = [unpack_summary(np.asarray(out)[:n])
                  for n, out in futures]
         if len(parts) == 1:
             return parts[0]

@@ -140,55 +140,51 @@ class Trimmer:
         n = len(edges)
         front = adapters is self.front_adapters
         eng = self._engine()
-        km_dev, lens_dev, _ = eng.upload(edges, self.WINDOW - self.k + 1)
-        hits = eng.gate(km_dev, lens_dev, front, n)[:, :len(adapters)]
-        aset_sizes = np.array([max(1, len(s)) for s in adapter_sets])
-        gate = ((hits * 10) // aset_sizes >= 2) | (hits >= 3)
-
-        pairs = np.argwhere(gate)
+        # gate: hits >= 3 OR hits >= ceil(aset/5)  (ref: trim/trim.go:366)
+        aset = np.array([max(1, len(st)) for st in adapter_sets])
+        gate_min = np.minimum(3, -(-aset // 5))
+        chain_min = np.full(len(adapter_sets), min_match, np.int32)
+        rows = eng.match(edges, front, gate_min, chain_min,
+                         self.WINDOW - self.k + 1)
         per_edge_adapter_ident = {}
         results = [
             _EdgeResult(len(edges[i]) if i < n else EDGE_SIZE, 0, False, 0)
             for i in range(n)]
-        if pairs.shape[0] == 0:
-            return results, per_edge_adapter_ident
-        out = eng.chain(km_dev, lens_dev, pairs[:, 0], pairs[:, 1],
-                        np.full(len(pairs), min_match), front)
 
         # per-edge aggregation following findMatches' in-order walk
+        # (hits iterated in adapter order, as the reference does)
         edge_state = {}
-        for pi, (ei, ai) in enumerate(pairs):
-            ei, ai = int(ei), int(ai)
-            ad = adapters[ai]
-            if out["n_chains"][pi] == 0:
-                continue
-            identity = _int_div(int(out["ident_cov_q"][pi]) * 100, ad.length)
-            per_edge_adapter_ident[(ei, ai)] = identity
-            st = edge_state.setdefault(
-                ei, {"earliest": len(edges[ei]), "latest": 0, "found": False,
-                     "best_ident": 0, "best_match": 0, "barcoded": False,
-                     "ambiguous": False})
-            counts[ai] += int(out["n_chains"][pi])
-            is_barcode = ad.get_name().startswith("Barcode")
-            if not st["barcoded"] and is_barcode:
-                st["barcoded"] = True
-                st["best_ident"] = identity
-                st["best_match"] = ai
-            elif st["barcoded"]:
-                if is_barcode:
-                    delta = identity - st["best_ident"]
-                    st["ambiguous"] = -5 < delta < 5
-                    if identity > st["best_ident"]:
-                        st["best_ident"] = identity
-                        st["best_match"] = ai
-            elif identity > st["best_ident"]:
-                st["best_ident"] = identity
-                st["best_match"] = ai
-            start = max(0, int(out["earliest"][pi]))
-            end = min(len(edges[ei]), int(out["latest"][pi]))
-            st["earliest"] = min(st["earliest"], start)
-            st["latest"] = max(st["latest"], end)
-            st["found"] = True
+        for ei in range(n):
+            for ai, summ in sorted(rows[ei]):
+                ad = adapters[ai]
+                identity = _int_div(int(summ["ident_cov_q"]) * 100,
+                                    ad.length)
+                per_edge_adapter_ident[(ei, ai)] = identity
+                st = edge_state.setdefault(
+                    ei, {"earliest": len(edges[ei]), "latest": 0,
+                         "found": False, "best_ident": 0, "best_match": 0,
+                         "barcoded": False, "ambiguous": False})
+                counts[ai] += int(summ["n_chains"])
+                is_barcode = ad.get_name().startswith("Barcode")
+                if not st["barcoded"] and is_barcode:
+                    st["barcoded"] = True
+                    st["best_ident"] = identity
+                    st["best_match"] = ai
+                elif st["barcoded"]:
+                    if is_barcode:
+                        delta = identity - st["best_ident"]
+                        st["ambiguous"] = -5 < delta < 5
+                        if identity > st["best_ident"]:
+                            st["best_ident"] = identity
+                            st["best_match"] = ai
+                elif identity > st["best_ident"]:
+                    st["best_ident"] = identity
+                    st["best_match"] = ai
+                start = max(0, int(summ["earliest"]))
+                end = min(len(edges[ei]), int(summ["latest"]))
+                st["earliest"] = min(st["earliest"], start)
+                st["latest"] = max(st["latest"], end)
+                st["found"] = True
         for ei, st in edge_state.items():
             if st["ambiguous"]:
                 # trim, but pretend no adapter was seen (trim.go:423-426)
@@ -201,7 +197,7 @@ class Trimmer:
 
     # -- DetermineAdapters ----------------------------------------------
     def determine_adapters(self, seqs, num_reads: int, threshold: int,
-                           batch_size: int = 512):
+                           batch_size: int = 2048):
         """Keep only adapters with a high-identity full match in the first
         ``num_reads`` reads (ref: trim/trim.go:272-324)."""
         front_enabled = [False] * len(self.front_adapters)
@@ -244,27 +240,20 @@ class Trimmer:
         """Batched isNewFullMatch (ref: trim/trim.go:326-352)."""
         front = adapters is self.front_adapters
         eng = self._engine()
-        km_dev, lens_dev, _ = eng.upload(edges, self.WINDOW - self.k + 1)
-        hits = eng.gate(km_dev, lens_dev, front, len(edges))[:, :len(adapters)]
-        min_hits_v = np.array([len(st) // 2 for st in adapter_sets])
-        gate = hits >= np.maximum(min_hits_v, 1)
-        gate[:, [i for i, en in enumerate(enabled) if en]] = False
-        pairs = np.argwhere(gate)
-        metas = [(int(ei), int(ai)) for ei, ai in pairs]
-        out = eng.chain(km_dev, lens_dev, pairs[:, 0], pairs[:, 1],
-                        np.maximum(min_hits_v[pairs[:, 1]], 1), front) \
-            if len(pairs) else None
-        if out is None:
-            return
-        for pi, (ei, ai) in enumerate(metas):
-            if out["n_chains"][pi] == 0:
-                continue
-            cov = int(out["ident_cov_q"][pi])
-            if _int_div(cov * 100, adapters[ai].length) >= threshold:
-                enabled[ai] = True
+        min_hits_v = np.maximum(
+            np.array([len(st) // 2 for st in adapter_sets]), 1)
+        gate_min = min_hits_v.copy()
+        gate_min[[i for i, en in enumerate(enabled) if en]] = 1 << 20
+        rows = eng.match(edges, front, gate_min, min_hits_v,
+                         self.WINDOW - self.k + 1)
+        for row in rows:
+            for ai, summ in row:
+                cov = int(summ["ident_cov_q"])
+                if _int_div(cov * 100, adapters[ai].length) >= threshold:
+                    enabled[ai] = True
 
     # -- Trim -------------------------------------------------------------
-    def trim(self, seqs, batch_size: int = 512):
+    def trim(self, seqs, batch_size: int = 2048):
         """Edge pass + middle pass over all reads
         (ref: trim/trim.go:136-257)."""
         self._log("Trimming ends and indexing all sequences against",
@@ -371,40 +360,31 @@ class Trimmer:
         identity, original_length) detections with identity >=
         mid_threshold."""
         eng = self._engine()
-        km_dev, lens_dev, _ = eng.upload(windows, self.WINDOW - self.k + 1)
-        hits = eng.gate(km_dev, lens_dev, True, len(windows))[
-            :, :len(self.front_adapters)]
         # a chain of L anchors covers at most L*k bases of the adapter, so
         # reaching mid_threshold% identity needs L >= ceil(thr*len/(100*k))
-        # distinct shared seeds; the matmul gate can demand that outright
+        # distinct shared seeds; the gate demands it outright
         min_matches = np.array([
             max(3, ad.num_seeds // 5,
                 -(-self.mid_threshold * ad.length // (100 * self.k)))
             for ad in self.front_adapters])
-        gate = hits >= min_matches
-        pairs = np.argwhere(gate)
-        if pairs.shape[0] == 0:
-            return []
-        out = eng.chain(km_dev, lens_dev, pairs[:, 0], pairs[:, 1],
-                        np.maximum(min_matches[pairs[:, 1]] // 1, 1), True)
+        rows = eng.match(windows, True, min_matches, min_matches,
+                         self.WINDOW - self.k + 1)
         detections = []
-        for pi, (ei, ai) in enumerate(pairs):
-            ei, ai = int(ei), int(ai)
-            ad = self.front_adapters[ai]
-            if out["n_chains"][pi] == 0:
-                continue
+        for ei, row in enumerate(rows):
             w = windows[ei]
             orig_len = len(w) + w.offset + w.inset
-            for j in range(out["top_valid"].shape[1]):
-                if not out["top_valid"][pi][j]:
-                    continue
-                identity = _int_div(int(out["top_cov_q"][pi][j]) * 100,
-                                    ad.length)
-                if identity < self.mid_threshold:
-                    continue
-                start = int(out["top_stp"][pi][j]) - int(out["top_sqp"][pi][j])
-                detections.append((w.id, ai, w.offset + start, identity,
-                                   orig_len))
+            for ai, summ in row:
+                ad = self.front_adapters[ai]
+                for j in range(len(summ["top_valid"])):
+                    if not summ["top_valid"][j]:
+                        continue
+                    identity = _int_div(int(summ["top_cov_q"][j]) * 100,
+                                        ad.length)
+                    if identity < self.mid_threshold:
+                        continue
+                    start = int(summ["top_stp"][j]) - int(summ["top_sqp"][j])
+                    detections.append((w.id, ai, w.offset + start, identity,
+                                       orig_len))
         return detections
 
     def _record_split(self, seqs, splits, ad, rid, start, orig_len):

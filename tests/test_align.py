@@ -206,3 +206,23 @@ def test_pallas_band_kernel_matches_oracle():
                                        poffs.astype(np.uint16), 300)
     assert np.array_equal(np.asarray(m), exp_m.astype(np.int32))
     assert np.array_equal(np.asarray(out), exp_out.astype(np.int32))
+
+
+def test_device_beam_consensus():
+    """The device beam engine (ops.dtw) recovers a noisy consensus with
+    quality comparable to the host landmark engine."""
+    from downpore_tpu.ops.dtw import consensus_kmers
+    from downpore_tpu.core.sequence import decode_bases
+    rng = np.random.default_rng(31)
+    k = 5
+    truth = encode_bases("".join("ACGT"[i] for i in rng.integers(0, 4, 150)))
+    seqs = make_kmer_seqs(truth, 8, 0.08, k, rng)
+    m = SimpleMeasure(k)
+    cons = consensus_kmers(seqs, m.pair_table(), k)
+    called = kmers_to_bases(cons, k)
+    truth_s = decode_bases(truth)
+
+    def ks(s, kk=8):
+        return set(s[i:i + kk] for i in range(len(s) - kk + 1))
+    inter = len(ks(called) & ks(truth_s))
+    assert inter / len(ks(truth_s)) > 0.75
