@@ -65,6 +65,8 @@ class SequenceSet:
     def _build_index(self):
         if self._indexed:
             return
+        if self._try_native_index():
+            return
         with _open(self.filename) as f:
             offset = 0
             pending_name: Optional[str] = None
@@ -136,6 +138,50 @@ class SequenceSet:
             finish_record()
         self._cached = [None] * len(self.spans)
         self._indexed = True
+
+    def _try_native_index(self) -> bool:
+        """Index plain single-line fastq via the native scanner (mmap +
+        C++ record walk); returns False to fall back to the python path
+        (gz, fasta, malformed input)."""
+        if self.filename.endswith(".gz"):
+            return False
+        try:
+            import mmap
+            from .. import native
+            if native.load() is None:
+                return False
+            with open(self.filename, "rb") as f:
+                head = f.read(1)
+                if head != b"@":
+                    return False
+                f.seek(0)
+                buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                res = native.index_fastq(buf)
+                if res is None:
+                    return False
+                seq_off, seq_len, name_off, name_len, qual_off = res
+                for i in range(len(seq_off)):
+                    if seq_len[i] + 1 < self.min_length:
+                        continue
+                    self.spans.append([(int(seq_off[i]), int(seq_len[i]))])
+                    self.q_spans.append([(int(qual_off[i]),
+                                          int(seq_len[i]))])
+                    self.lengths.append(int(seq_len[i]))
+                    self.names.append(
+                        buf[name_off[i]:name_off[i] + name_len[i]]
+                        .decode("ascii", "replace"))
+                    self.ignore.append(False)
+                    self.front_trim.append(0)
+                    self.back_trim.append(0)
+                    self.quality.append(20)
+                    self.bases += int(seq_len[i])
+                buf.close()
+            self.is_fastq = True
+            self._cached = [None] * len(self.spans)
+            self._indexed = True
+            return True
+        except Exception:
+            return False
 
     # -- reading -------------------------------------------------------
     def _read_record(self, f, rid: int) -> Sequence:

@@ -309,7 +309,7 @@ class Trimmer:
                 seqs.set_back_trim(rid, end)
 
     # -- middle pass -------------------------------------------------------
-    def _middle_pass(self, seqs, window_batch: int = 8192):
+    def _middle_pass(self, seqs, window_batch: int = 32768):
         """Search read interiors for read-splitting adapters.
 
         The reference chunks interiors into the seed index and retrieves
