@@ -163,22 +163,45 @@ class WindowChainEngine:
         self._back_km = km_table(back_sets)
 
     # -- per batch ------------------------------------------------------
+    def _buffers(self, nb: int, W: int):
+        """Reused host staging buffers — fresh multi-MB allocations fault
+        pages at pathological cost in sandboxed environments."""
+        key = (nb, W)
+        buf = getattr(self, "_buf_cache", None)
+        if buf is None:
+            buf = self._buf_cache = {}
+        if key not in buf:
+            k = self.k
+            buf[key] = (np.zeros((nb, W + k - 1), dtype=np.uint8),
+                        np.zeros(nb, dtype=np.int32),
+                        np.zeros((nb, W), dtype=np.int32),
+                        np.zeros((nb, W), dtype=np.int32),
+                        np.zeros((nb, W), dtype=np.int16),
+                        np.zeros((nb, W + k - 1), dtype=np.int32))
+        return buf[key]
+
     def upload(self, windows, W: int):
         """Window batch -> resident device arrays (kmers int16, lens)."""
         n = len(windows)
         nb = _bucket(max(1, n))
         k = self.k
-        codes = np.zeros((nb, W + k - 1), dtype=np.uint8)
-        lens = np.zeros(nb, dtype=np.int32)
+        codes, lens, acc, tmp, km16, codes32 = self._buffers(nb, W)
+        codes[:] = 0
+        lens[:] = 0
         for i, w in enumerate(windows):
             m = min(len(w), W + k - 1)
             codes[i, :m] = w.codes[:m]
             lens[i] = max(0, m - k + 1)
-        acc = np.zeros((nb, W), dtype=np.int32)
-        c = codes.astype(np.int32)
+        np.copyto(codes32, codes, casting="unsafe")
+        acc[:] = 0
         for j in range(k):
-            acc |= c[:, j : j + W] << (2 * (k - 1 - j))
-        km = acc.astype(np.int16) if 4 ** k <= 32768 else acc
+            np.left_shift(codes32[:, j : j + W], 2 * (k - 1 - j), out=tmp)
+            np.bitwise_or(acc, tmp, out=acc)
+        if 4 ** k <= 32768:
+            np.copyto(km16, acc, casting="unsafe")
+            km = km16
+        else:
+            km = acc
         return jax.device_put(km), jax.device_put(lens), n
 
     def gate(self, kmers_dev, lens_dev, front: bool, n: int) -> np.ndarray:

@@ -37,7 +37,8 @@ def top_occurrences(counts: np.ndarray, k: int, top_n: int,
     merged = merged + merged[rc]
     order = np.argsort(merged, kind="stable")
     svals = merged[order]
-    start = int(np.searchsorted(svals, 1))  # first non-zero
+    # scalar must match the array dtype or numpy casts the whole array
+    start = int(np.searchsorted(svals, np.uint64(1)))  # first non-zero
     if start > len(merged) - bottom_n:
         start = len(merged) - bottom_n
     bottoms = order[start : start + bottom_n]
@@ -49,20 +50,32 @@ _RC_TABLES = {}
 
 
 def _rc_table(k: int) -> np.ndarray:
-    """kmer -> reverse-complement kmer lookup, built by dynamic doubling."""
+    """kmer -> reverse-complement kmer lookup, computed with O(log k)
+    vectorized bit passes (no gathers; fast even at 4^11 entries)."""
     if k in _RC_TABLES:
         return _RC_TABLES[k]
-    if k == 1:
-        t = np.array([3, 2, 1, 0], dtype=np.int64)
-    else:
-        prev = _rc_table(k - 1)
-        base = _rc_table(1)
-        n = 4 ** (k - 1)
-        hi = np.repeat(np.arange(4, dtype=np.int64), n)   # leading base
-        lo = np.tile(np.arange(n, dtype=np.int64), 4)     # trailing k-1
-        t = prev[lo] * 4 + base[hi]
-    _RC_TABLES[k] = t
-    return t
+    v = np.arange(4 ** k, dtype=np.int64) ^ (4 ** k - 1)  # complement
+    # reverse the k 2-bit groups within 2k bits: classic swap cascade on
+    # a power-of-two width, then shift out the unused high groups
+    width = 1
+    while width < k:
+        width *= 2
+    bits = 2 * width
+    masks = {
+        2: 0x3333333333333333,
+        4: 0x0F0F0F0F0F0F0F0F,
+        8: 0x00FF00FF00FF00FF,
+        16: 0x0000FFFF0000FFFF,
+        32: 0x00000000FFFFFFFF,
+    }
+    step = 2
+    while step < bits:
+        m = np.int64(masks[step] & ((1 << bits) - 1))
+        v = ((v >> step) & m) | ((v & m) << step)
+        step *= 2
+    v >>= bits - 2 * k
+    _RC_TABLES[k] = v
+    return v
 
 
 def default_kmer_values(counts: np.ndarray,
@@ -72,10 +85,11 @@ def default_kmer_values(counts: np.ndarray,
     counts = counts.astype(np.float64)
     tot = counts.sum()
     freq = counts / max(tot, 1.0)
-    values = np.where(freq <= target_freq,
-                      1.0 - (target_freq - freq),
-                      1.0 - (freq - target_freq))
-    values[counts < 3] = 0.0
+    # the branchy form collapses to 1 - |freq - target|; plain arithmetic
+    # sidesteps np.where / boolean fancy indexing, which are pathologically
+    # slow on multi-million-element arrays in this numpy build
+    values = 1.0 - np.abs(freq - target_freq)
+    values *= counts >= 3
     return values
 
 
