@@ -12,11 +12,16 @@ from ..overlap.combine import SeedContig
 
 
 def build_consensus(contig: SeedContig, sequences, model=None,
-                    full_match: bool = False
+                    full_match: bool = False, engine: str = "host"
                     ) -> Tuple[Optional[SeedContig], Optional[Sequence]]:
     """``sequences`` maps read id -> Sequence (list or dict).  Returns the
     updated contig and the consensus Sequence (carrying the base read's
-    id/offsets when one part is the query itself), or (None, None)."""
+    id/offsets when one part is the query itself), or (None, None).
+
+    ``engine="host"`` runs the faithful landmark beam (align.dtw);
+    ``engine="device"`` runs the fixed-beam TPU engine (ops.dtw) — faster
+    in bulk, no per-sequence positions, so contig offsets are left
+    approximate."""
     k = 5
     cost_threshold = 200
     initial_gap_cost = 5
@@ -57,6 +62,21 @@ def build_consensus(contig: SeedContig, sequences, model=None,
         return None, None
 
     measure = model.clone() if model is not None else SimpleMeasure(k)
+    if engine == "device":
+        from ..ops.dtw import consensus_kmers
+        table = measure.pair_table() if model is None \
+            else model.pair_table()
+        kmers = consensus_kmers(seqs, table, k,
+                                threshold=cost_threshold,
+                                gap_cost=initial_gap_cost)
+        if len(kmers) < 100:
+            return None, None
+        consensus_len = len(kmers) - k + 1
+        for i in range(len(contig.lengths)):
+            contig.lengths[i] = consensus_len
+            contig.approximate[i] = True
+        codes = _kmers_to_codes(kmers, k)
+        return contig, Sequence(codes, id=-1)
     measure.set_sequences(seqs, rcs)
     dtw = DTWAligner(16, initial_gap_cost, measure, full_match,
                      cost_threshold, k)
