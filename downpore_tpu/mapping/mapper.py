@@ -25,7 +25,7 @@ import numpy as np
 from ..core.sequence import Sequence
 from ..seeds import SeedIndex, SeedSequence
 from ..ops import match as match_ops
-from ..ops.chain import run_chain_batch
+from ..ops.chain import run_chain_summary
 
 
 class Mapping:
@@ -125,13 +125,15 @@ class Mapper:
         cand_lists = match_ops.candidates_from_counts(counts, num_sets, 0.25)
 
         # build chain pairs for all (query, candidate)
-        qs_l, qp_l, ts_l, tp_l, pair_meta = [], [], [], [], []
+        qs_l, qp_l, ts_l, tp_l, mm_l, al_l, pair_meta = \
+            [], [], [], [], [], [], []
         for mi, (qi, is_rc, sq) in enumerate(metas):
             if sq.num_seeds == 0:
                 continue
             qpos = sq.seed_positions(k).astype(np.int32)
             qmask = np.zeros(self.index.num_seeds, dtype=bool)
             qmask[sq.seeds] = True
+            base_min = max(5, sq.num_seeds // 5)
             for ci in cand_lists[mi]:
                 chunk = self.index.sequences[ci]
                 tkeep = qmask[chunk.seeds]
@@ -139,9 +141,11 @@ class Mapper:
                 qp_l.append(qpos)
                 ts_l.append(chunk.seeds[tkeep])
                 tp_l.append(self._chunk_pos[ci][tkeep])
+                mm_l.append(base_min)
+                al_l.append(sq.length)
                 pair_meta.append((mi, int(ci)))
-        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, k,
-                              nq=64, nt=64, max_anchors=128)
+        out = run_chain_summary(qs_l, qp_l, ts_l, tp_l, mm_l, al_l, k,
+                                nq=64, nt=64, max_anchors=128)
         results: List[List[Mapping]] = [[] for _ in queries]
         if out is None:
             return results
@@ -165,14 +169,12 @@ class Mapper:
                     # popcount gate on distinct shared seeds
                     if dcounts[mi, ci] < cur_min:
                         continue
-                    best = int(out["through"][pi].max(initial=0))
+                    best = int(out["best"][pi])
                     if best < cur_min:
                         continue
-                    thr = max(cur_min, (best * 2) // 3)
-                    good = out["valid"][pi] & (out["through"][pi] >= thr)
-                    ms = self._extract_chains(out, pi, good, seed_q,
+                    ms = self._extract_chains(out, pi, seed_q,
                                               self.index.sequences[ci],
-                                              is_rc, queries[qi])
+                                              is_rc, queries[qi], cur_min)
                     for m, chain_len in ms:
                         res.append(m)
                         limit = (chain_len * 4) // 5
@@ -184,21 +186,24 @@ class Mapper:
             results[qi] = res
         return results
 
-    def _extract_chains(self, out, pi, good, seed_q: SeedSequence,
-                        chunk: SeedSequence, is_rc: bool, query: Sequence):
-        """Mappings from the good anchors of one pair, one per distinct
+    def _extract_chains(self, out, pi, seed_q: SeedSequence,
+                        chunk: SeedSequence, is_rc: bool, query: Sequence,
+                        cur_min: int):
+        """Mappings from the top good chains of one pair, one per distinct
         chain start (ref: mapping.go:528-551)."""
         k = self.k
-        idxs = np.flatnonzero(good)
-        if idxs.size == 0:
-            return []
         ref_len = len(self.reference)
         starts = {}
-        for a in idxs:
-            key = (int(out["start_qp"][pi][a]), int(out["start_tp"][pi][a]))
+        for j in range(len(out["top_valid"][pi])):
+            if not out["top_valid"][pi][j]:
+                continue
+            if int(out["top_len"][pi][j]) < cur_min:
+                continue
+            key = (int(out["top_sqp"][pi][j]), int(out["top_stp"][pi][j]))
+            stat = (int(out["top_len"][pi][j]),
+                    int(out["top_cov_t"][pi][j]),
+                    int(out["top_eqp"][pi][j]), int(out["top_etp"][pi][j]))
             prev = starts.get(key)
-            stat = (int(out["through"][pi][a]), int(out["cov_t"][pi][a]),
-                    int(out["end_qp"][pi][a]), int(out["end_tp"][pi][a]))
             if prev is None or stat > prev:
                 starts[key] = stat
         res = []

@@ -460,7 +460,8 @@ def _bucket(n: int) -> int:
 
 def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
                     nq: int, nt: int, max_anchors: int,
-                    variant: str = "extend", max_pairs: int = 2048):
+                    variant: str = "extend", max_pairs: int = 2048,
+                    keys=None):
     """Host wrapper: pad a list of (query, target) seed/position vectors to
     fixed shapes, run ``chain_batch`` on device, return numpy outputs
     truncated back to the true pair count.
@@ -498,7 +499,9 @@ def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
         tp = pack(tpos_list, lo, n, PB, nt, 0)
         out = chain_batch(qs, qp, ts, tp, k=k, max_anchors=max_anchors,
                           variant=variant)
-        out = jax.device_get(out)  # one batched transfer for all keys
+        if keys is not None:
+            out = {key: out[key] for key in keys}
+        out = jax.device_get(out)  # one batched transfer
         return {key: v[:n] for key, v in out.items()}
 
     if P <= max_pairs:

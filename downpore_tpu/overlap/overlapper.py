@@ -245,7 +245,8 @@ class Overlapper:
                 metas.append((qi, ci, np.flatnonzero(tkeep)))
         out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, k,
                               nq=128, nt=128, max_anchors=192,
-                              variant="aligner")
+                              variant="aligner",
+                              keys=("f", "bp", "qi", "tj"))
         results: List[SeedMatch] = []
         if out is None:
             return results
