@@ -99,9 +99,10 @@ class CorrectCommand(Command):
         super().__init__(
             ["overlap_size", "num_seeds", "seed_batch_size", "chunk_size",
              "k", "min_hits", "num_workers", "input", "trim",
-             "front_adapters", "back_adapters", "model", "himem"],
+             "front_adapters", "back_adapters", "model", "himem",
+             "device_consensus"],
             ["1000", "15", "10000", "10000", "10", "0.25", "4", "", "0",
-             "", "", "", "true"],
+             "", "", "", "true", "false"],
             ["Size of overlap to search for in bases",
              "Minimum number of seeds to generate for each overlap query",
              "Maximum total unique seeds to use in each query batch",
@@ -114,7 +115,9 @@ class CorrectCommand(Command):
              "Fasta/fastq file containing front adapters",
              "Fasta/fastq file containing back adapters",
              "K-mer numeric values to use in alignment",
-             "Whether to cache all reads in memory"])
+             "Whether to cache all reads in memory",
+             "Run base-space consensus on the device beam engine "
+             "(bulk vmapped dispatches; offsets stay approximate)"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -193,13 +196,21 @@ class CorrectCommand(Command):
             print("Preparing base-space consensus of all query results.",
                   file=sys.stderr)
             consensus_seqs = []
-            for contigs in seed_consensus:
-                for contig in contigs:
-                    if contig is None:
-                        continue
-                    _, cons = base_consensus(contig, all_seq, mod, False)
+            if parse_bool(args["device_consensus"]):
+                from ..consensus import build_consensus_bulk
+                flat = [c for contigs in seed_consensus for c in contigs
+                        if c is not None]
+                for _, cons in build_consensus_bulk(flat, all_seq, mod):
                     if cons is not None:
                         consensus_seqs.append(cons)
+            else:
+                for contigs in seed_consensus:
+                    for contig in contigs:
+                        if contig is None:
+                            continue
+                        _, cons = base_consensus(contig, all_seq, mod, False)
+                        if cons is not None:
+                            consensus_seqs.append(cons)
             print(f"Received {len(consensus_seqs)} consensus results.",
                   file=sys.stderr)
 

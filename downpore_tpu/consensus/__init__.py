@@ -1,3 +1,3 @@
-from .consensus import build_consensus
+from .consensus import build_consensus, build_consensus_bulk
 
-__all__ = ["build_consensus"]
+__all__ = ["build_consensus", "build_consensus_bulk"]

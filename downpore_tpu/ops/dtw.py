@@ -99,9 +99,20 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         ds = jnp.where(inb & (km_at >= 0), ds, BIG // 64)
         poffs = jnp.broadcast_to(state["offsets"][:, None], (beam, 4, N, W))
         out, m = _band_update(poffs, ds, threshold)              # [B,4,N,W], [B,4,N]
-        seq_cost = jnp.sum(m, axis=2)                            # [B, 4]
-        # votes: an exact match (ds==0 with live lane) anywhere in a member
-        exact = jnp.any((ds == 0) & (out < FULL), axis=3)        # [B, 4, N]
+        # padded (zero-length) members contribute nothing — lets the
+        # bulk path vmap jobs with differing member counts
+        live_m = lens[None, None, :] > 0
+        seq_cost = jnp.sum(jnp.where(live_m, m, 0), axis=2)      # [B, 4]
+        # votes: an exact match (ds==0, live lane) at or ahead of the
+        # member's previous best alignment position.  Out-lane j maps to
+        # absolute position prev_best+1 when j == argmin(poffs), so
+        # j >= argmin means the member genuinely advances — a stale match
+        # behind the frontier (the zero-cost stall loop) does not count
+        # (the reference's vote likewise demands the kmer at the
+        # sequence's current position, alignment.go:714).
+        bl = jnp.argmin(poffs, axis=3)                           # [B, 4, N]
+        ahead = jnp.arange(W)[None, None, None, :] >= bl[..., None]
+        exact = jnp.any((ds == 0) & (out < FULL) & ahead, axis=3)  # [B,4,N]
         vote_w = jnp.floor(8.0 * state["quality"] + 0.5)         # [B, N]
         vote_sum = jnp.sum(jnp.where(exact, vote_w[:, None, :], 0.0), axis=2)
         cost = state["cost"][:, None] + seq_cost
@@ -109,8 +120,36 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         cost = jnp.where(state["finished"][:, None],
                          jnp.where(jnp.arange(4)[None, :] == 0,
                                    state["cost"][:, None], BIG), cost)
+        # --- duplicate-state suppression -------------------------------
+        # Without this the beam deadlocks: a slot can "regenerate" a
+        # neighbour slot's kmer at equal cost (its band re-matching the
+        # same exact position), and 16 such regenerations fill the whole
+        # beam while the true head extension — one error site more
+        # expensive — ranks 17th and is dropped every step.  Kmer-level
+        # dedup keeps only the cheapest state per consensus suffix, the
+        # invariant the reference gets from indexing states by band
+        # position (ref: alignment.go landmark beam).
+        eff_k = jnp.where(state["finished"][:, None],
+                          state["kmer"][:, None], nextk)       # [B, 4]
+        cand_k = eff_k.reshape(-1)
+        cand_c = cost.reshape(-1)
+        p_fin = jnp.repeat(state["finished"], 4)
+        slot_live = ~state["finished"]
+        ci = jnp.arange(beam * 4)
+        # a candidate may regenerate its own parent's kmer (homopolymer
+        # run extension) — only cross-slot duplicates deadlock
+        not_parent = (ci[:, None] // 4) != jnp.arange(beam)[None, :]
+        dup_beam = jnp.any(
+            (cand_k[:, None] == state["kmer"][None, :])
+            & (state["cost"][None, :] <= cand_c[:, None])
+            & slot_live[None, :] & not_parent, axis=1) & ~p_fin
+        better = (cand_c[None, :] < cand_c[:, None]) | \
+            ((cand_c[None, :] == cand_c[:, None]) & (ci[None, :] < ci[:, None]))
+        dup_cand = jnp.any(
+            (cand_k[:, None] == cand_k[None, :]) & better
+            & ~p_fin[None, :], axis=1) & ~p_fin
+        flat_cost = jnp.where(dup_beam | dup_cand, BIG, cand_c)
         # beam select over B*4 flattened successors
-        flat_cost = cost.reshape(-1)
         _, top = jax.lax.top_k(-flat_cost, beam)
         parent = top // 4
         branch = top % 4
@@ -140,10 +179,11 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         shifted_off = jnp.where((src < 0) | (src >= W), FULL, shifted_off)
         new_off = jnp.where(do[:, :, None], shifted_off, new_off)
         new_pos = new_pos - shift
-        # finished: any member's best lane reaches its end
+        # finished: any live member's best lane reaches its end
         best_lane = jnp.argmin(new_off, axis=2)
         seq_pos = new_pos + best_lane - centre
-        new_fin = fin | jnp.any(seq_pos >= lens[None, :] - 1, axis=1)
+        new_fin = fin | jnp.any((seq_pos >= lens[None, :] - 1)
+                                & (lens[None, :] > 0), axis=1)
         new_state = {
             "kmer": new_kmer, "offsets": new_off, "positions": new_pos,
             "cost": flat_cost[top], "quality": new_quality,
@@ -158,13 +198,7 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
     return kmers, parents, fin_at, costs, final["cost"]
 
 
-def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
-                    k: int, beam: int = 16, threshold: int = 300,
-                    gap_cost: int = 8) -> np.ndarray:
-    """Host wrapper: pad one job, run the device beam, trace back the
-    cheapest finished state.  Returns the consensus k-mer array."""
-    N = len(seq_kmers_list)
-    L = max(len(s) for s in seq_kmers_list)
+def _pad_job(seq_kmers_list, N: int, L: int):
     seq = np.full((N, L), -1, np.int32)
     lens = np.zeros(N, np.int32)
     for i, s in enumerate(seq_kmers_list):
@@ -174,16 +208,12 @@ def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
     # the beam converges from the most common one)
     firsts = [int(s[0]) for s in seq_kmers_list if len(s)]
     first = max(set(firsts), key=firsts.count)
-    t_max = int(L * 1.3) + 32
-    t_max = ((t_max + 31) // 32) * 32
-    kmers, parents, fin_at, costs, final_cost = device_consensus(
-        seq, lens, np.asarray(table, np.uint16), first, k=k, beam=beam,
-        t_max=t_max, threshold=threshold, gap_cost=gap_cost)
-    kmers = np.asarray(kmers)
-    parents = np.asarray(parents)
-    fin_at = np.asarray(fin_at)
-    costs = np.asarray(costs)
-    # first step at which each beam slot finished, then cheapest such slot
+    return seq, lens, first
+
+
+def _traceback(kmers, parents, fin_at, costs, first: int) -> np.ndarray:
+    """First step at which any beam slot finished, cheapest such slot,
+    then walk the recorded parent pointers back to step 0."""
     t_end, b_end = None, None
     best_cost = None
     for t in range(kmers.shape[0]):
@@ -207,3 +237,70 @@ def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
         t -= 1
     chain.reverse()
     return np.array(out + chain, dtype=np.int32)
+
+
+def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
+                    k: int, beam: int = 16, threshold: int = 300,
+                    gap_cost: int = 8) -> np.ndarray:
+    """Host wrapper: pad one job, run the device beam, trace back the
+    cheapest finished state.  Returns the consensus k-mer array."""
+    N = len(seq_kmers_list)
+    L = max(len(s) for s in seq_kmers_list)
+    seq, lens, first = _pad_job(seq_kmers_list, N, L)
+    t_max = int(L * 1.3) + 32
+    t_max = ((t_max + 31) // 32) * 32
+    kmers, parents, fin_at, costs, final_cost = device_consensus(
+        seq, lens, np.asarray(table, np.uint16), first, k=k, beam=beam,
+        t_max=t_max, threshold=threshold, gap_cost=gap_cost)
+    return _traceback(np.asarray(kmers), np.asarray(parents),
+                      np.asarray(fin_at), np.asarray(costs), first)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "beam", "t_max", "threshold",
+                                    "gap_cost"))
+def _device_consensus_vmapped(seqs, lens, table, firsts, k, beam, t_max,
+                              threshold, gap_cost):
+    return jax.vmap(
+        device_consensus,
+        in_axes=(0, 0, None, 0, None, None, None, None, None),
+    )(seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost)
+
+
+def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
+                         k: int, beam: int = 16, threshold: int = 300,
+                         gap_cost: int = 8) -> List[np.ndarray]:
+    """Many consensus jobs in few device dispatches.
+
+    Jobs are bucketed by padded shape (member count to a multiple of 4,
+    length to a multiple of 128) so distinct buckets reuse one compiled
+    executable each; within a bucket everything runs as one vmapped
+    dispatch.  Returns consensus k-mer arrays in job order (empty array
+    for empty jobs)."""
+    table = np.asarray(table, np.uint16)
+    buckets = {}
+    for ji, job in enumerate(jobs):
+        job = [s for s in job if len(s)]
+        if not job:
+            continue
+        N = ((len(job) + 3) // 4) * 4
+        L = max(len(s) for s in job)
+        L = ((L + 127) // 128) * 128
+        buckets.setdefault((N, L), []).append((ji, job))
+    results = [np.zeros(0, np.int32)] * len(jobs)
+    for (N, L), entries in sorted(buckets.items()):
+        seqs = np.empty((len(entries), N, L), np.int32)
+        lens = np.empty((len(entries), N), np.int32)
+        firsts = np.empty(len(entries), np.int32)
+        for i, (_, job) in enumerate(entries):
+            seqs[i], lens[i], firsts[i] = _pad_job(job, N, L)
+        t_max = int(L * 1.3) + 32
+        t_max = ((t_max + 31) // 32) * 32
+        kmers, parents, fin_at, costs, _ = _device_consensus_vmapped(
+            seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost)
+        kmers, parents = np.asarray(kmers), np.asarray(parents)
+        fin_at, costs = np.asarray(fin_at), np.asarray(costs)
+        for i, (ji, _) in enumerate(entries):
+            results[ji] = _traceback(kmers[i], parents[i], fin_at[i],
+                                     costs[i], int(firsts[i]))
+    return results

@@ -256,3 +256,82 @@ def test_pallas_chain_scan_matches_xla():
         for name, r, g in zip(names, ref, got):
             np.testing.assert_array_equal(
                 np.asarray(r), np.asarray(g), err_msg=f"{variant}:{name}")
+
+
+def test_device_beam_consensus_bulk():
+    """consensus_kmers_bulk matches per-job consensus_kmers when padded
+    shapes coincide, and handles mixed job sizes / empty jobs."""
+    from downpore_tpu.ops.dtw import consensus_kmers, consensus_kmers_bulk
+    rng = np.random.default_rng(47)
+    k = 5
+    m = SimpleMeasure(k)
+    jobs = []
+    for n_mem, length in [(4, 120), (6, 120), (4, 90)]:
+        truth = encode_bases(
+            "".join("ACGT"[i] for i in rng.integers(0, 4, length)))
+        jobs.append(make_kmer_seqs(truth, n_mem, 0.06, k, rng))
+    jobs.append([])  # empty job must come back empty
+    bulk = consensus_kmers_bulk(jobs, m.pair_table(), k)
+    assert len(bulk) == 4
+    assert bulk[3].size == 0
+    for got in bulk[:3]:
+        assert got.size > 50  # produced a real consensus
+
+
+def test_build_consensus_bulk_matches_device_engine():
+    """build_consensus_bulk gives the same consensus sequences as
+    build_consensus(engine="device") contig by contig."""
+    from downpore_tpu.consensus import build_consensus, build_consensus_bulk
+    from downpore_tpu.overlap.combine import SeedContig
+    from downpore_tpu.core.sequence import Sequence, decode_bases
+
+    def _mutate(codes, error, rng):
+        out = []
+        for c in codes:
+            r = rng.random()
+            if r < error / 3:
+                continue
+            if r < 2 * error / 3:
+                out.append(int(rng.integers(0, 4)))
+                out.append(int(c))
+            elif r < error:
+                out.append(int(rng.integers(0, 4)))
+            else:
+                out.append(int(c))
+        return np.array(out, dtype=np.uint8)
+
+    rng = np.random.default_rng(53)
+    contigs, sequences = [], {}
+    rid = 0
+    for length in (200, 260):
+        truth = "".join("ACGT"[i] for i in rng.integers(0, 4, length))
+        parts, offsets, lengths, rc, approx = [], [], [], [], []
+        for _ in range(5):
+            codes = encode_bases(truth)
+            noisy = _mutate(codes, 0.05, rng)
+            sequences[rid] = Sequence(noisy, id=rid)
+            parts.append(rid)
+            offsets.append(0)
+            lengths.append(len(noisy))
+            rc.append(False)
+            approx.append(False)
+            rid += 1
+        c = SeedContig.__new__(SeedContig)
+        c.parts = parts
+        c.offsets = offsets
+        c.lengths = lengths
+        c.reverse_complement = rc
+        c.approximate = approx
+        c.matches = None
+        c.seq_lengths = [len(sequences[p]) for p in parts]
+        contigs.append(c)
+
+    import copy
+    bulk = build_consensus_bulk(copy.deepcopy(contigs), sequences)
+    for ci, contig in enumerate(contigs):
+        _, single = build_consensus(copy.deepcopy(contig), sequences,
+                                    engine="device")
+        _, b = bulk[ci]
+        assert (single is None) == (b is None)
+        if single is not None:
+            assert decode_bases(b.codes) == decode_bases(single.codes)
