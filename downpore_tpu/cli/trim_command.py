@@ -16,9 +16,11 @@ class TrimCommand(Command):
              "check_reads", "adapter_threshold", "extra_end_trim",
              "extra_middle_trim", "tag_adapters", "verbosity",
              "front_adapters", "back_adapters", "num_workers", "himem",
-             "demultiplex", "require_pairs", "determine_adapters"],
+             "demultiplex", "require_pairs", "determine_adapters",
+             "data_parallel"],
             ["", "6", "5000", "85", "false", "10000", "90", "5", "100",
-             "true", "1", "", "", "4", "false", "", "false", "true"],
+             "true", "1", "", "", "4", "false", "", "false", "true",
+             "false"],
             ["Fasta/fastq/gzip input file",
              "k-mer size to use when matching adapters",
              "Split long reads into chunks of this size when indexing",
@@ -36,14 +38,20 @@ class TrimCommand(Command):
              "Whether to cache all reads in memory",
              "A path to demultiplex to, otherwise write sequences to stdout",
              "Whether front/back adapters with the same name must appear together",
-             "Whether to use a fixed set of adapters or to search for those present"])
+             "Whether to use a fixed set of adapters or to search for those present",
+             "Shard window batches across all attached devices "
+             "(jax.sharding data mesh; adapter tables replicate)"])
 
     def run(self, args):
         from ..io import SequenceSet
         from ..trim.trimmer import load_trimmer
 
+        mesh = None
+        if parse_bool(args["data_parallel"]):
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
         trimmer = load_trimmer(args["front_adapters"], args["back_adapters"],
-                               parse_int(args["k"]))
+                               parse_int(args["k"]), mesh=mesh)
         seq_set = SequenceSet(args["input"], min_length=50,
                               cache=parse_bool(args["himem"]))
         trimmer.set_verbosity(parse_int(args["verbosity"]))

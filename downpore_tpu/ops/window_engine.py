@@ -129,11 +129,21 @@ class WindowChainEngine:
 
     def __init__(self, front_adapters, back_adapters, front_sets, back_sets,
                  kmer_map: np.ndarray, seed_map: List[int], k: int,
-                 nq: int = 64):
+                 nq: int = 64, mesh=None):
         self.k = k
         self.nq = nq
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+            self._data = NamedSharding(mesh, P("data"))
+            self._put = lambda a: jax.device_put(a, self._repl)
+            self._put_data = lambda a: jax.device_put(a, self._data)
+        else:
+            self._put = jax.device_put
+            self._put_data = jax.device_put
         size = kmer_map.shape[0]
-        self.kmer2seed = jax.device_put(kmer_map.astype(np.int32))
+        self.kmer2seed = self._put(kmer_map.astype(np.int32))
 
         def tables(adapters):
             A = len(adapters)
@@ -145,8 +155,7 @@ class WindowChainEngine:
                 seeds[i, :m] = ad.seeds[:m]
                 pos[i, :m] = ad.seed_positions(k)[:m]
                 alen[i] = ad.length
-            return (jax.device_put(seeds), jax.device_put(pos),
-                    jax.device_put(alen))
+            return (self._put(seeds), self._put(pos), self._put(alen))
 
         self.front = tables(front_adapters)
         self.back = tables(back_adapters)
@@ -157,7 +166,7 @@ class WindowChainEngine:
             for i, st in enumerate(adapter_sets):
                 kms = [seed_map[int(sid)] for sid in st]
                 t[kms, i] = 1
-            return jax.device_put(t)
+            return self._put(t)
 
         self._front_km = km_table(front_sets)
         self._back_km = km_table(back_sets)
@@ -184,6 +193,11 @@ class WindowChainEngine:
         """Window batch -> resident device arrays (kmers int16, lens)."""
         n = len(windows)
         nb = _bucket(max(1, n))
+        if self.mesh is not None:
+            # batch dim must divide across the data axis (e.g. 6 devices
+            # with a pow2 bucket) — round up to a multiple of it
+            D = self.mesh.shape["data"]
+            nb = ((nb + D - 1) // D) * D
         k = self.k
         codes, lens, acc, tmp, km16, codes32 = self._buffers(nb, W)
         codes[:] = 0
@@ -202,7 +216,7 @@ class WindowChainEngine:
             km = km16
         else:
             km = acc
-        return jax.device_put(km), jax.device_put(lens), n
+        return self._put_data(km), self._put_data(lens), n
 
     def gate(self, kmers_dev, lens_dev, front: bool, n: int) -> np.ndarray:
         table = self._front_km if front else self._back_km

@@ -56,9 +56,11 @@ class _EdgeResult:
 class Trimmer:
     def __init__(self, front_adapters: List[Sequence],
                  back_adapters: List[Sequence], k: int = 6,
-                 verbosity: int = 1):
+                 verbosity: int = 1, mesh=None):
         self.k = k
         self.verbosity = verbosity
+        self.mesh = mesh  # optional jax Mesh with a "data" axis: window
+        # batches shard across it, adapter tables replicate (multi-chip)
         self.original_front = list(front_adapters)
         self.original_back = list(back_adapters)
         self._setup_index()
@@ -128,7 +130,8 @@ class Trimmer:
             self._engine_obj = WindowChainEngine(
                 self.front_adapters, self.back_adapters,
                 self.front_sets, self.back_sets,
-                self.index.kmer_map, self.index.seed_map, self.k)
+                self.index.kmer_map, self.index.seed_map, self.k,
+                mesh=self.mesh)
         return self._engine_obj
 
     # -- edge matching --------------------------------------------------
@@ -458,7 +461,7 @@ class Trimmer:
 
 
 def load_trimmer(front_path: Optional[str], back_path: Optional[str],
-                 k: int = 6, verbosity: int = 1) -> Trimmer:
+                 k: int = 6, verbosity: int = 1, mesh=None) -> Trimmer:
     """Create a Trimmer from adapter fasta files, or the bundled ONT
     adapter set when paths are empty (ref: trim/trim.go:102-116)."""
     from ..io import SequenceSet
@@ -474,4 +477,4 @@ def load_trimmer(front_path: Optional[str], back_path: Optional[str],
     from ..data import FRONT_ADAPTERS, BACK_ADAPTERS
     fronts = load(front_path, FRONT_ADAPTERS)
     backs = load(back_path, BACK_ADAPTERS)
-    return Trimmer(fronts, backs, k, verbosity)
+    return Trimmer(fronts, backs, k, verbosity, mesh=mesh)

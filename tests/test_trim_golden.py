@@ -66,3 +66,21 @@ def test_trim_golden_output(fixture_fastq):
 
 
 EXPECTED_DIGEST = "b7ef415758ba165151d66f047f59093b027d5e2299db656ac5ad23266ca27399"
+
+
+def test_trim_golden_output_data_parallel(fixture_fastq):
+    """The same golden output when window batches shard over an 8-device
+    data mesh (adapter tables replicated) — validates the multi-chip trim
+    path bit-for-bit."""
+    from downpore_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    trimmer = load_trimmer("", "", 6, verbosity=0, mesh=mesh)
+    seq_set = SequenceSet(fixture_fastq, min_length=50)
+    trimmer.determine_adapters(seq_set, 10000, 90)
+    trimmer.set_trim_params(85, 5, 50, 1000, True, True, False)
+    trimmer.trim(seq_set)
+    out = io.StringIO()
+    seq_set.write(out, True)
+    digest = hashlib.sha256(out.getvalue().encode()).hexdigest()
+    assert digest == EXPECTED_DIGEST
