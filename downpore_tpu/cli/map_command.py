@@ -12,8 +12,10 @@ class MapCommand(Command):
     def __init__(self):
         super().__init__(
             ["input", "reference", "circular", "k", "query_size",
-             "min_length", "chunk_size", "seed_rate", "num_workers"],
-            ["", "", "true", "11", "1000", "500", "10000", "40", "4"],
+             "min_length", "chunk_size", "seed_rate", "num_workers",
+             "data_parallel"],
+            ["", "", "true", "11", "1000", "500", "10000", "40", "4",
+             "false"],
             ["Fasta/fastq input file",
              "A fasta file containing a reference sequence to align against",
              "Whether the reference genome is circular",
@@ -22,7 +24,9 @@ class MapCommand(Command):
              "The minimum sequence size to generate queries from",
              "The number of bases for reference index chunks",
              "The maximum number of bases between seeds in the reference",
-             "The number of worker process to use for mapping"])
+             "The number of worker process to use for mapping",
+             "Shard query batches across all attached devices "
+             "(jax.sharding data mesh; the reference index replicates)"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -37,10 +41,14 @@ class MapCommand(Command):
         values = score_seed_values(counts, k)
         print("K-mer counting complete. Preparing to start indexing and "
               "querying...", file=sys.stderr)
+        mesh = None
+        if parse_bool(args["data_parallel"]):
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
         mapper = Mapper(reference, parse_bool(args["circular"]), k, values,
                         parse_int(args["seed_rate"]),
                         parse_int(args["query_size"]),
-                        parse_int(args["chunk_size"]))
+                        parse_int(args["chunk_size"]), mesh=mesh)
         seq_set = SequenceSet(args["input"],
                               min_length=parse_int(args["min_length"]))
         mapped = multiple = unmapped = total = 0

@@ -50,11 +50,14 @@ class Mapping:
 class Mapper:
     def __init__(self, reference: Sequence, circular: bool, k: int,
                  kmer_values: np.ndarray, seed_rate: int = 40,
-                 edge_size: int = 1000, chunk_size: int = 10000):
+                 edge_size: int = 1000, chunk_size: int = 10000,
+                 mesh=None):
         self.reference = reference
         self.circular = circular
         self.k = k
         self.edge_size = edge_size
+        self.mesh = mesh  # optional jax Mesh with a "data" axis: query
+        # batches shard across it, the reference index replicates
         self.index = SeedIndex(k)
         self.index.add_single_seeds(reference, seed_rate, kmer_values)
         # 10 interleaved chunking passes (ref: mapping/mapping.go:79-101)
@@ -79,6 +82,11 @@ class Mapper:
         self.H = match_ops.choose_hash_size(S)
         self.membership = match_ops.build_membership(
             [s.seeds for s in self.index.sequences], S, self.H)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            import jax
+            self.membership = jax.device_put(
+                self.membership, NamedSharding(self.mesh, PartitionSpec()))
         # "usable" seeds: in at least one but not all chunks
         self.usable = (self.index._seed_counts > 0) & \
             (self.index._seed_counts < self.index.num_sequences)
@@ -120,8 +128,21 @@ class Mapper:
             metas.append((qi, True, rq))
         V, VD, num_sets = match_ops.build_query_rows(
             seed_queries, self.index.num_seeds, self.usable_m, self.H)
-        counts = np.asarray(match_ops.hit_counts(V, self.membership))
-        dcounts = np.asarray(match_ops.hit_counts(VD, self.membership))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            import jax
+            D = self.mesh.shape["data"]
+            QB = ((V.shape[0] + D - 1) // D) * D
+            if QB != V.shape[0]:
+                z = np.zeros((QB - V.shape[0], V.shape[1]), V.dtype)
+                V = np.concatenate([V, z])
+                VD = np.concatenate([VD, z])
+            sh = NamedSharding(self.mesh, PartitionSpec("data"))
+            V = jax.device_put(V, sh)
+            VD = jax.device_put(VD, sh)
+        Qn = len(seed_queries)
+        counts = np.asarray(match_ops.hit_counts(V, self.membership))[:Qn]
+        dcounts = np.asarray(match_ops.hit_counts(VD, self.membership))[:Qn]
         cand_lists = match_ops.candidates_from_counts(counts, num_sets, 0.25)
 
         # build chain pairs for all (query, candidate)
@@ -145,7 +166,8 @@ class Mapper:
                 al_l.append(sq.length)
                 pair_meta.append((mi, int(ci)))
         out = run_chain_summary(qs_l, qp_l, ts_l, tp_l, mm_l, al_l, k,
-                                nq=64, nt=64, max_anchors=128)
+                                nq=64, nt=64, max_anchors=128,
+                                mesh=self.mesh)
         results: List[List[Mapping]] = [[] for _ in queries]
         if out is None:
             return results

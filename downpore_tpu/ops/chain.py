@@ -371,12 +371,19 @@ class DeviceAdapterTables:
 def run_chain_summary(qseeds_list, qpos_list, tseeds_list, tpos_list,
                       min_match_list, alen_list, k: int, nq: int, nt: int,
                       max_anchors: int, variant: str = "extend",
-                      top_k: int = 4, max_pairs: int = 2048):
+                      top_k: int = 4, max_pairs: int = 2048, mesh=None):
     """Host wrapper for ``chain_batch_summary`` with the same padding /
-    slicing behaviour as ``run_chain_batch``."""
+    slicing behaviour as ``run_chain_batch``.  With ``mesh``, pair
+    batches shard across its ``data`` axis (multi-chip data parallel)."""
     P = len(qseeds_list)
     if P == 0:
         return None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        data_sh = NamedSharding(mesh, PartitionSpec("data"))
+        D = mesh.shape["data"]
+    else:
+        data_sh = D = None
 
     def pack(lists, lo, n, PB, width, fill):
         out = np.full((PB, width), fill, np.int32)
@@ -394,6 +401,8 @@ def run_chain_summary(qseeds_list, qpos_list, tseeds_list, tpos_list,
     def one(lo, hi):
         n = hi - lo
         PB = _bucket(n) if hi - lo < max_pairs else max_pairs
+        if D is not None:
+            PB = ((PB + D - 1) // D) * D
         qs = pack(qseeds_list, lo, n, PB, nq, -1)
         qp = pack(qpos_list, lo, n, PB, nq, 0)
         ts = pack(tseeds_list, lo, n, PB, nt, -1)
@@ -402,6 +411,10 @@ def run_chain_summary(qseeds_list, qpos_list, tseeds_list, tpos_list,
         mm[:n] = min_match_list[lo:hi]
         al = np.zeros(PB, np.int32)
         al[:n] = alen_list[lo:hi]
+        if data_sh is not None:
+            qs, qp, ts, tp, mm, al = (
+                jax.device_put(a, data_sh)
+                for a in (qs, qp, ts, tp, mm, al))
         out = chain_batch_summary(qs, qp, ts, tp, mm, al, k=k,
                                   max_anchors=max_anchors, variant=variant,
                                   top_k=top_k)

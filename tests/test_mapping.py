@@ -128,3 +128,29 @@ def test_map_batch_multiple(genome_and_mapper):
     for (read, maps), s in zip(zip(reads, all_maps), (1000, 15000, 33000, 50000)):
         assert len(maps) >= 1
         assert abs(maps[0].start - s) < 200
+
+
+def test_map_data_parallel_identical(genome_and_mapper):
+    """The same mappings when query batches shard over an 8-device data
+    mesh (reference index replicated)."""
+    from downpore_tpu.parallel.mesh import make_mesh
+    genome, mapper, _ = genome_and_mapper
+    rng = np.random.default_rng(77)
+    counts = kmer_occurrences([genome], K)
+    values = score_seed_values(counts, K)
+    mesh = make_mesh()
+    dp_mapper = Mapper(genome, circular=False, k=K, kmer_values=values,
+                       seed_rate=40, edge_size=1000, chunk_size=10000,
+                       mesh=mesh)
+    reads = []
+    for i in range(12):
+        start = int(rng.integers(0, 55000))
+        ln = int(rng.integers(2000, 4000))
+        codes = mutate(genome.codes[start:start + ln].copy(), 0.08, rng)
+        reads.append(Sequence(codes, id=i, name=f"r{i}"))
+    single = [[mapper.as_string(m) for m in ms]
+              for ms in mapper.map_batch(reads)]
+    sharded = [[dp_mapper.as_string(m) for m in ms]
+               for ms in dp_mapper.map_batch(reads)]
+    assert single == sharded
+    assert sum(len(ms) for ms in single) >= 10
