@@ -100,9 +100,9 @@ class CorrectCommand(Command):
             ["overlap_size", "num_seeds", "seed_batch_size", "chunk_size",
              "k", "min_hits", "num_workers", "input", "trim",
              "front_adapters", "back_adapters", "model", "himem",
-             "device_consensus"],
+             "device_consensus", "data_parallel"],
             ["1000", "15", "10000", "10000", "10", "0.25", "4", "", "0",
-             "", "", "", "true", "false"],
+             "", "", "", "true", "false", "false"],
             ["Size of overlap to search for in bases",
              "Minimum number of seeds to generate for each overlap query",
              "Maximum total unique seeds to use in each query batch",
@@ -117,7 +117,9 @@ class CorrectCommand(Command):
              "K-mer numeric values to use in alignment",
              "Whether to cache all reads in memory",
              "Run base-space consensus on the device beam engine "
-             "(bulk vmapped dispatches; offsets stay approximate)"])
+             "(bulk vmapped dispatches; offsets stay approximate)",
+             "Shard query batches across all attached devices "
+             "(jax.sharding data mesh; the chunk index replicates)"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -137,6 +139,10 @@ class CorrectCommand(Command):
         hit_fraction = parse_float(args["min_hits"])
         mod = Model(args["model"], False) if args.get("model") else None
 
+        mesh = None
+        if parse_bool(args["data_parallel"]):
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
         seq_set = SequenceSet(args["input"], min_length=overlap_size,
                               cache=parse_bool(args["himem"]))
         if args.get("trim") == "1":
@@ -170,7 +176,7 @@ class CorrectCommand(Command):
 
             index = SeedIndex(k)
             overlapper = Overlapper(index, chunk_size, overlap_size, 10,
-                                    hit_fraction)
+                                    hit_fraction, mesh=mesh)
             queries = overlapper.prepare_queries(
                 num_seeds, seed_batch_size, values,
                 seq_set.get_sequences_by_id(ids), QUERY_ALL)
@@ -217,7 +223,7 @@ class CorrectCommand(Command):
             # round 2: consensus outputs become queries
             index = SeedIndex(k)
             overlapper = Overlapper(index, chunk_size, overlap_size, 10,
-                                    hit_fraction)
+                                    hit_fraction, mesh=mesh)
             next_queries = overlapper.prepare_queries(
                 num_seeds, seed_batch_size, values, iter(consensus_seqs),
                 QUERY_ALL)

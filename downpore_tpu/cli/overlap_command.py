@@ -15,9 +15,9 @@ class OverlapCommand(Command):
         super().__init__(
             ["overlap_size", "k", "num_seeds", "seed_batch_size",
              "chunk_size", "query_batch_size", "min_hits", "num_workers",
-             "input", "seed_values", "himem"],
+             "input", "seed_values", "himem", "data_parallel"],
             ["1000", "10", "15", "10000", "10000", "20000", "0.25", "4",
-             "", "", "true"],
+             "", "", "true", "false"],
             ["Size of overlap to search for in bases",
              "Number of bases in each seed",
              "Minimum number of seeds to generate for each overlap query",
@@ -28,7 +28,9 @@ class OverlapCommand(Command):
              "Number of worker threads to spawn",
              "Fasta/fastq input file",
              "File containing values to use during seed selection.",
-             "Whether to cache all reads in memory"])
+             "Whether to cache all reads in memory",
+             "Shard query batches across all attached devices "
+             "(jax.sharding data mesh; the chunk index replicates)"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -53,12 +55,16 @@ class OverlapCommand(Command):
         print("Counting complete. Starting indexing and querying...",
               file=sys.stderr)
 
+        mesh = None
+        if parse_bool(args["data_parallel"]):
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
         first_sequence = 0
         round_no = 0
         while True:
             index = SeedIndex(k)
             overlapper = Overlapper(index, chunk_size, overlap_size,
-                                    num_seeds, hit_fraction)
+                                    num_seeds, hit_fraction, mesh=mesh)
             seqs = seq_set.get_n_sequences_from(first_sequence,
                                                 query_batch_size)
             queries = overlapper.prepare_queries(

@@ -474,7 +474,7 @@ def _bucket(n: int) -> int:
 def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
                     nq: int, nt: int, max_anchors: int,
                     variant: str = "extend", max_pairs: int = 2048,
-                    keys=None):
+                    keys=None, mesh=None):
     """Host wrapper: pad a list of (query, target) seed/position vectors to
     fixed shapes, run ``chain_batch`` on device, return numpy outputs
     truncated back to the true pair count.
@@ -487,6 +487,12 @@ def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
     P = len(qseeds_list)
     if P == 0:
         return None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        data_sh = NamedSharding(mesh, PartitionSpec("data"))
+        D = mesh.shape["data"]
+    else:
+        data_sh = D = None
 
     def pack(lists, lo, n, PB, width, fill):
         """Ragged list-of-arrays -> padded [PB, width] without a per-row
@@ -506,10 +512,15 @@ def run_chain_batch(qseeds_list, qpos_list, tseeds_list, tpos_list, k: int,
     def one(lo, hi):
         n = hi - lo
         PB = _bucket(n) if hi - lo < max_pairs else max_pairs
+        if D is not None:
+            PB = ((PB + D - 1) // D) * D
         qs = pack(qseeds_list, lo, n, PB, nq, -1)
         qp = pack(qpos_list, lo, n, PB, nq, 0)
         ts = pack(tseeds_list, lo, n, PB, nt, -1)
         tp = pack(tpos_list, lo, n, PB, nt, 0)
+        if data_sh is not None:
+            qs, qp, ts, tp = (jax.device_put(a, data_sh)
+                              for a in (qs, qp, ts, tp))
         out = chain_batch(qs, qp, ts, tp, k=k, max_anchors=max_anchors,
                           variant=variant)
         if keys is not None:

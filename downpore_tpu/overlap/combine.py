@@ -93,6 +93,16 @@ def trim_to_best_seed(upto: int, ms: List[SeedMatch], min_match: int,
         back = len(match.match_b) - 1
         while back >= 0 and match.match_b[back] > b_index:
             back -= 1
+        # ALSO trim in consensus space: a pair can sit inside the part's
+        # kept range but outside [best_index, back_index] on the
+        # consensus, which would leave out-of-range match_a entries (the
+        # reference keeps them and prints its "Bad back:" diagnostic,
+        # ref: overlap/combine.go:94-103, then indexes out of range in
+        # GetBasesCovered — here they are dropped instead)
+        while front <= back and match.match_a[front] < best_index:
+            front += 1
+        while back >= front and match.match_a[back] > back_index:
+            back -= 1
         match.match_a = match.match_a[front:back + 1]
         match.match_b = match.match_b[front:back + 1]
         for n in range(len(match.match_b)):

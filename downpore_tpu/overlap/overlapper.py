@@ -44,12 +44,14 @@ class SeedQuery:
 
 class Overlapper:
     def __init__(self, index: SeedIndex, chunk_size: int, overlap: int,
-                 min_seeds: int, hit_fraction: float):
+                 min_seeds: int, hit_fraction: float, mesh=None):
         self.index = index
         self.chunk_size = chunk_size
         self.overlap = overlap
         self.min_seeds = min_seeds
         self.hit_fraction = hit_fraction
+        self.mesh = mesh  # optional jax Mesh with a "data" axis: query
+        # rows and chain pairs shard across it, the index replicates
 
     # -- query preparation ---------------------------------------------
     def _query_subsequences(self, seqs: Iterable[Sequence], query_type: int,
@@ -212,13 +214,18 @@ class Overlapper:
         H = match_ops.choose_hash_size(S)
         membership = match_ops.build_membership(
             [c.seeds for c in self.index.sequences], S, H)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            membership = jax.device_put(
+                membership, NamedSharding(self.mesh, PartitionSpec()))
         if self.index._seed_counts is None:
             self.index.index_sequences()
         usable = self.index._seed_counts < self.index.num_sequences
         V, VD, num_sets = match_ops.build_query_rows(
             [q.query for q in queries], S, usable, H)
-        counts = _bucketed_counts(V, membership)
-        dcounts = _bucketed_counts(VD, membership)
+        counts = _bucketed_counts(V, membership, self.mesh)
+        dcounts = _bucketed_counts(VD, membership, self.mesh)
         cand_lists = match_ops.candidates_from_counts(
             counts, num_sets, self.hit_fraction)
 
@@ -246,7 +253,8 @@ class Overlapper:
         out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, k,
                               nq=128, nt=128, max_anchors=192,
                               variant="aligner",
-                              keys=("f", "bp", "qi", "tj"))
+                              keys=("f", "bp", "qi", "tj"),
+                              mesh=self.mesh)
         results: List[SeedMatch] = []
         if out is None:
             return results
@@ -270,10 +278,17 @@ class Overlapper:
         return results
 
 
-def _bucketed_counts(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+def _bucketed_counts(V: np.ndarray, M, mesh=None) -> np.ndarray:
     from ..ops.chain import _bucket
     n = V.shape[0]
     nb = _bucket(max(1, n))
+    if mesh is not None:
+        D = mesh.shape["data"]
+        nb = ((nb + D - 1) // D) * D
     if nb != n:
         V = np.concatenate([V, np.zeros((nb - n, V.shape[1]), V.dtype)])
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        V = jax.device_put(V, NamedSharding(mesh, PartitionSpec("data")))
     return np.asarray(match_ops.hit_counts(V, M))[:n]
