@@ -172,10 +172,15 @@ class WindowChainEngine:
         self._back_km = km_table(back_sets)
 
     # -- per batch ------------------------------------------------------
+    N_SLOTS = 8  # staging sets rotated so several uploads can be in
+    # flight (device_put transfers may still be reading the host buffer)
+
     def _buffers(self, nb: int, W: int):
         """Reused host staging buffers — fresh multi-MB allocations fault
         pages at pathological cost in sandboxed environments."""
-        key = (nb, W)
+        slot = getattr(self, "_slot", 0)
+        self._slot = (slot + 1) % self.N_SLOTS
+        key = (nb, W, slot)
         buf = getattr(self, "_buf_cache", None)
         if buf is None:
             buf = self._buf_cache = {}
@@ -223,13 +228,13 @@ class WindowChainEngine:
         counts = _gate_counts(kmers_dev, lens_dev, table)
         return np.asarray(counts)[:n]
 
-    def match(self, windows, front: bool, gate_min: np.ndarray,
-              chain_min: np.ndarray, W: int, top_t: int = 8,
-              max_anchors: int = 128, batch: int = 16384):
-        """Fused gate+chain for a whole window list; returns for each
-        window a list of (adapter_idx, summary_row dict) for its passing
-        top-``top_t`` adapters.  One device round trip per ``batch``."""
-        from .chain import unpack_summary
+    def match_dispatch(self, windows, front: bool, gate_min: np.ndarray,
+                       chain_min: np.ndarray, W: int, top_t: int = 8,
+                       max_anchors: int = 128, batch: int = 16384):
+        """Upload + enqueue the fused gate+chain for a window list and
+        return futures WITHOUT fetching — lets callers overlap several
+        dispatches (front/back edges, successive batches) so device
+        compute and the ~1 s/round-trip tunnel latency pipeline."""
         table = self._front_km if front else self._back_km
         a_seeds, a_pos, a_len = self.front if front else self.back
         A = a_len.shape[0]
@@ -245,6 +250,11 @@ class WindowChainEngine:
                 km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
                 self.kmer2seed, k=self.k, max_anchors=max_anchors,
                 top_t=top_t)))
+        return futures
+
+    def match_collect(self, futures):
+        """Fetch dispatched futures and unpack per-window rows."""
+        from .chain import unpack_summary
         results = []
         for n, fut in futures:
             arr = np.asarray(fut)[:n]       # [n, T, M+1]
@@ -259,6 +269,16 @@ class WindowChainEngine:
                                     {key: v[j] for key, v in flat.items()}))
                 results.append(row)
         return results
+
+    def match(self, windows, front: bool, gate_min: np.ndarray,
+              chain_min: np.ndarray, W: int, top_t: int = 8,
+              max_anchors: int = 128, batch: int = 16384):
+        """Fused gate+chain for a whole window list; returns for each
+        window a list of (adapter_idx, summary_row dict) for its passing
+        top-``top_t`` adapters.  One device round trip per ``batch``."""
+        return self.match_collect(self.match_dispatch(
+            windows, front, gate_min, chain_min, W, top_t=top_t,
+            max_anchors=max_anchors, batch=batch))
 
     def chain(self, kmers_dev, lens_dev, pair_ei, pair_ai, pair_mm,
               front: bool, max_anchors: int = 128,

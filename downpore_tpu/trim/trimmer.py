@@ -135,20 +135,28 @@ class Trimmer:
         return self._engine_obj
 
     # -- edge matching --------------------------------------------------
-    def _match_edges(self, edges: List[Sequence], adapters, adapter_sets,
-                     counts, min_match: int = 3,
-                     collect_identity_only: bool = False):
-        """Batched findMatches (ref: trim/trim.go:354-428).  Returns per
-        edge an ``_EdgeResult`` plus per-(edge, adapter) identities."""
-        n = len(edges)
+    def _edge_dispatch(self, edges, adapters, adapter_sets,
+                       min_match: int = 3):
+        """Upload + enqueue the edge match, returning engine futures."""
         front = adapters is self.front_adapters
         eng = self._engine()
         # gate: hits >= 3 OR hits >= ceil(aset/5)  (ref: trim/trim.go:366)
         aset = np.array([max(1, len(st)) for st in adapter_sets])
         gate_min = np.minimum(3, -(-aset // 5))
         chain_min = np.full(len(adapter_sets), min_match, np.int32)
-        rows = eng.match(edges, front, gate_min, chain_min,
-                         self.WINDOW - self.k + 1)
+        return eng.match_dispatch(edges, front, gate_min, chain_min,
+                                  self.WINDOW - self.k + 1)
+
+    def _match_edges(self, edges: List[Sequence], adapters, adapter_sets,
+                     counts, min_match: int = 3,
+                     collect_identity_only: bool = False, rows=None):
+        """Batched findMatches (ref: trim/trim.go:354-428).  Returns per
+        edge an ``_EdgeResult`` plus per-(edge, adapter) identities."""
+        n = len(edges)
+        if rows is None:
+            rows = self._engine().match_collect(
+                self._edge_dispatch(edges, adapters, adapter_sets,
+                                    min_match))
         per_edge_adapter_ident = {}
         results = [
             _EdgeResult(len(edges[i]) if i < n else EDGE_SIZE, 0, False, 0)
@@ -256,33 +264,55 @@ class Trimmer:
                     enabled[ai] = True
 
     # -- Trim -------------------------------------------------------------
-    def trim(self, seqs, batch_size: int = 2048):
+    def trim(self, seqs, batch_size: int = 2048, max_inflight: int = 2):
         """Edge pass + middle pass over all reads
-        (ref: trim/trim.go:136-257)."""
+        (ref: trim/trim.go:136-257).
+
+        Up to ``max_inflight`` edge batches (front + back dispatches
+        each) stay in flight before the oldest is fetched, so device
+        compute, transfers and the host link round trips pipeline."""
+        from collections import deque
         self._log("Trimming ends and indexing all sequences against",
                   len(self.front_adapters), "adapters...")
+        pending = deque()
         batch: List[Sequence] = []
         for seq in seqs.get_sequences():
             batch.append(seq)
             if len(batch) >= batch_size:
-                self._trim_edge_batch(seqs, batch)
+                pending.append(self._dispatch_edge_batch(batch))
                 batch = []
+                if len(pending) > max_inflight:
+                    self._finish_edge_batch(seqs, pending.popleft())
         if batch:
-            self._trim_edge_batch(seqs, batch)
+            pending.append(self._dispatch_edge_batch(batch))
+        while pending:
+            self._finish_edge_batch(seqs, pending.popleft())
 
         # middle pass: chunk interiors into the index and split
         self._middle_pass(seqs)
 
-    def _trim_edge_batch(self, seqs, batch: List[Sequence]):
-        """Batched trimWorker (ref: trim/trim.go:451-513)."""
+    def _dispatch_edge_batch(self, batch: List[Sequence]):
+        """Upload one edge batch and enqueue both matches (no fetch)."""
         usable = [s for s in batch if len(s) >= EDGE_SIZE + 50]
         self.seen_count += len(batch)
         fronts = [s.subsequence(0, EDGE_SIZE) for s in usable]
         backs = [s.subsequence(len(s) - EDGE_SIZE, len(s)) for s in usable]
+        ff = self._edge_dispatch(fronts, self.front_adapters,
+                                 self.front_sets)
+        fb = self._edge_dispatch(backs, self.back_adapters, self.back_sets)
+        return usable, fronts, backs, ff, fb
+
+    def _finish_edge_batch(self, seqs, state):
+        """Fetch one dispatched edge batch and apply trims
+        (ref trimWorker, trim/trim.go:451-513)."""
+        usable, fronts, backs, ff, fb = state
+        eng = self._engine()
         fres, _ = self._match_edges(fronts, self.front_adapters,
-                                    self.front_sets, self.front_counts)
+                                    self.front_sets, self.front_counts,
+                                    rows=eng.match_collect(ff))
         bres, _ = self._match_edges(backs, self.back_adapters,
-                                    self.back_sets, self.back_counts)
+                                    self.back_sets, self.back_counts,
+                                    rows=eng.match_collect(fb))
         for i, seq in enumerate(usable):
             fr, br = fres[i], bres[i]
             found_start, match_index = fr.found, fr.best_match
@@ -323,11 +353,13 @@ class Trimmer:
         same MXU matmul as the edge pass, then batch-chained; the rolling
         index and re-index rounds disappear.  The split/crop decision
         logic and thresholds are the reference's."""
+        from collections import deque
         splits = {}
         windows: List[Sequence] = []
         win = 256
         step = win - LONGEST_ADAPTER - self.k  # any adapter fits one window
         detections = []
+        pending = deque()
         for seq in seqs.get_sequences():
             n = len(seq)
             lo, hi = EDGE_SIZE, n - EDGE_SIZE
@@ -339,10 +371,15 @@ class Trimmer:
             for st in starts:
                 windows.append(seq.subsequence(st, min(st + win, hi)))
                 if len(windows) >= window_batch:
-                    detections.extend(self._match_windows(windows))
+                    pending.append(self._dispatch_windows(windows))
                     windows = []
+                    if len(pending) > 1:
+                        detections.extend(
+                            self._collect_windows(pending.popleft()))
         if windows:
-            detections.extend(self._match_windows(windows))
+            pending.append(self._dispatch_windows(windows))
+        while pending:
+            detections.extend(self._collect_windows(pending.popleft()))
         # dedupe repeated detections of one occurrence across overlapping
         # windows: same read+adapter within 30 bases keeps best identity
         best = {}
@@ -357,11 +394,8 @@ class Trimmer:
         self._log(len(splits), "sequences require splitting")
         self._apply_splits(seqs, splits)
 
-    def _match_windows(self, windows: List[Sequence]):
-        """Gate + chain a batch of interior windows against all front
-        adapters; returns (read_id, adapter_idx, start_in_original_read,
-        identity, original_length) detections with identity >=
-        mid_threshold."""
+    def _dispatch_windows(self, windows: List[Sequence]):
+        """Upload + enqueue one interior-window batch (no fetch)."""
         eng = self._engine()
         # a chain of L anchors covers at most L*k bases of the adapter, so
         # reaching mid_threshold% identity needs L >= ceil(thr*len/(100*k))
@@ -370,8 +404,24 @@ class Trimmer:
             max(3, ad.num_seeds // 5,
                 -(-self.mid_threshold * ad.length // (100 * self.k)))
             for ad in self.front_adapters])
-        rows = eng.match(windows, True, min_matches, min_matches,
-                         self.WINDOW - self.k + 1)
+        return windows, eng.match_dispatch(
+            windows, True, min_matches, min_matches,
+            self.WINDOW - self.k + 1)
+
+    def _collect_windows(self, state):
+        """Fetch one dispatched window batch and extract detections."""
+        windows, futures = state
+        rows = self._engine().match_collect(futures)
+        return self._window_detections(windows, rows)
+
+    def _match_windows(self, windows: List[Sequence]):
+        """Gate + chain a batch of interior windows against all front
+        adapters; returns (read_id, adapter_idx, start_in_original_read,
+        identity, original_length) detections with identity >=
+        mid_threshold."""
+        return self._collect_windows(self._dispatch_windows(windows))
+
+    def _window_detections(self, windows, rows):
         detections = []
         for ei, row in enumerate(rows):
             w = windows[ei]
