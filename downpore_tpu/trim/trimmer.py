@@ -404,9 +404,11 @@ class Trimmer:
             max(3, ad.num_seeds // 5,
                 -(-self.mid_threshold * ad.length // (100 * self.k)))
             for ad in self.front_adapters])
+        # interior windows rarely contain an adapter: compact the chain
+        # DP to gate-passing pairs (auto-fallback on overflow)
         return windows, eng.match_dispatch(
             windows, True, min_matches, min_matches,
-            self.WINDOW - self.k + 1)
+            self.WINDOW - self.k + 1, pair_budget=16384)
 
     def _collect_windows(self, state):
         """Fetch one dispatched window batch and extract detections."""

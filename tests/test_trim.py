@@ -160,3 +160,35 @@ def test_determine_adapters(tmp_path):
     names = [a.get_name() for a in t.original_front]
     assert FRONT_AD[0] in names
     assert len(names) < 20  # absent adapters dropped
+
+
+def test_pair_budget_compaction_matches_full():
+    """Budgeted (compacted) fused match returns identical rows to the
+    full path, including the transparent fallback when the budget
+    overflows."""
+    t = make_trimmer()
+    eng = t._engine()
+    W = t.WINDOW - t.k + 1
+    rng = np.random.default_rng(9)
+    windows = []
+    # half the windows contain the adapter (gate passes), half random
+    for i in range(64):
+        core = rand_bases(200, rng)
+        s = (FRONT_AD[1] + core) if i % 2 == 0 else rand_bases(230, rng)
+        windows.append(Sequence.from_string(s[:W + t.k - 1], id=i))
+    gm = np.array([1], np.int32)   # permissive gate: many pairs pass
+    cm = np.array([3], np.int32)
+
+    def rows_with(budget):
+        return eng.match_collect(eng.match_dispatch(
+            windows, True, gm, cm, W, pair_budget=budget))
+
+    full = rows_with(0)
+    compact = rows_with(4096)      # budget >= passing pairs
+    tiny = rows_with(8)            # overflow -> transparent fallback
+    def norm(rows):
+        return [[(ai, {k: np.asarray(v).tolist() for k, v in s.items()})
+                 for ai, s in row] for row in rows]
+    assert norm(full) == norm(compact)
+    assert norm(full) == norm(tiny)
+    assert any(len(r) for r in full)  # the adapter windows matched
