@@ -122,6 +122,9 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
     ok_flat = mm_all < BIGM
     n_ok = jnp.sum(ok_flat.astype(jnp.int32))
     if pair_budget and pair_budget < PC:
+        # compact form: chain only the selected pairs and return their
+        # rows directly — [B+1, M+2] int32 of (pair_idx, ai, summary...)
+        # is ~8x smaller than the full [n, T, M+1] grid
         B = ((pair_budget + CHUNK - 1) // CHUNK) * CHUNK
         sel = jnp.nonzero(ok_flat, size=B, fill_value=PC)[0]
         live = sel < PC
@@ -133,26 +136,23 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
                                          ai_s.reshape(-1, CHUNK),
                                          mm_s.reshape(-1, CHUNK)))
         packed_s = packed_s.reshape(B, -1)
-        M1 = packed_s.shape[1]
-        full = jnp.zeros((PC + 1, M1), jnp.int32)
-        packed = full.at[jnp.minimum(sel, PC)].set(packed_s)[:PC]
-    else:
-        C = PC // CHUNK
-        packed = jax.lax.map(process, (ei_all.reshape(C, CHUNK),
-                                       ai_all.reshape(C, CHUNK),
-                                       mm_all.reshape(C, CHUNK)))
-        packed = packed.reshape(PC, -1)
-    packed = packed[:P]
+        packed_s = jnp.clip(packed_s, -32768, 32767)  # match the full
+        # path's int16 clamp so both forms report identical summaries
+        out = jnp.concatenate(
+            [jnp.where(live, sel, -1)[:, None], ai_s[:, None], packed_s],
+            axis=1)
+        extra = jnp.zeros((1, out.shape[1]), jnp.int32).at[0, 0].set(n_ok)
+        return jnp.concatenate([out, extra], axis=0)
+    C = PC // CHUNK
+    packed = jax.lax.map(process, (ei_all.reshape(C, CHUNK),
+                                   ai_all.reshape(C, CHUNK),
+                                   mm_all.reshape(C, CHUNK)))
+    packed = packed.reshape(PC, -1)[:P]
     out = jnp.concatenate([ai_all[:P, None], packed], axis=1)
     # all genuine values fit int16 for <=32k-base windows; clamping the
     # empty-set sentinels halves the device->host fetch
     out = jnp.clip(out, -32768, 32767).astype(jnp.int16)
-    out = out.reshape(n, top_t, -1)
-    # trailing row: [n_ok, 0, ...] so the host can detect budget overflow
-    extra = jnp.zeros((1, top_t, out.shape[2]), jnp.int16)
-    extra = extra.at[0, 0, 0].set(
-        jnp.minimum(n_ok, 32767).astype(jnp.int16))
-    return jnp.concatenate([out, extra], axis=0)
+    return out.reshape(n, top_t, -1)
 
 
 class WindowChainEngine:
@@ -291,23 +291,41 @@ class WindowChainEngine:
                 km, ln, table, gm, cm, a_seeds, a_pos, a_len,
                 self.kmer2seed, k=self.k, max_anchors=max_anchors,
                 top_t=top_t, pair_budget=budget)
-            futures.append((n, call(pair_budget), pair_budget, call))
+            futures.append((n, call(pair_budget), pair_budget, call,
+                            top_t))
         return futures
 
     def match_collect(self, futures):
         """Fetch dispatched futures and unpack per-window rows."""
         from .chain import unpack_summary
         results = []
-        for n, fut, budget, call in futures:
+        for n, fut, budget, call, top_t in futures:
             if fut is None:
                 results.extend([[] for _ in range(n)])
                 continue
-            arr_full = np.asarray(fut)
-            if budget and int(arr_full[-1, 0, 0]) > budget:
+            arr = np.asarray(fut)
+            # a budget >= the padded pair count falls through to the full
+            # grid form inside the kernel (ndim 3); compact form is 2-D
+            if budget and arr.ndim == 2 and int(arr[-1, 0]) <= budget:
+                # compact form: rows only for the selected pairs
+                arr = arr[:-1]
+                sel = arr[:, 0]
+                live = sel >= 0
+                flat = unpack_summary(arr[:, 2:])
+                rows = [[] for _ in range(n)]
+                for b in np.flatnonzero(live):
+                    ei = int(sel[b]) // top_t
+                    if ei < n and flat["n_chains"][b] > 0:
+                        rows[ei].append((int(arr[b, 1]),
+                                         {key: v[b]
+                                          for key, v in flat.items()}))
+                results.extend(rows)
+                continue
+            if budget and arr.ndim == 2:
                 # budget overflow: rerun this sub-batch unbudgeted (the
                 # resident kmers are still on device)
-                arr_full = np.asarray(call(0))
-            arr = arr_full[:-1][:n]         # [n, T, M+1]
+                arr = np.asarray(call(0))
+            arr = arr[:n]                   # [n, T, M+1]
             T = arr.shape[1]
             flat = unpack_summary(arr[:, :, 1:].reshape(n * T, -1))
             for i in range(n):
