@@ -106,18 +106,27 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
     ai_all = pad(ai_all, 0)
     mm_all = pad(mm_all, BIGM)
 
-    def process(args):
-        ei, ai, mm = args
+    def build(args):
+        """Anchor enumeration for one chunk — bounds the [chunk, NQ, W]
+        equality tensor; the DP itself runs on the full pair tile (4x
+        fewer sequential scan steps than chunked DP)."""
+        ei, ai = args
         qs = a_seeds[ai].astype(jnp.int32)
         qp = a_pos[ai].astype(jnp.int32)
-        alen = a_len[ai]
         km = kmers[ei].astype(jnp.int32)
         pos = jax.lax.broadcasted_iota(jnp.int32, km.shape, 1)
         valid = pos < lens[ei][:, None]
         ts = jnp.where(valid, jnp.take(kmer2seed, jnp.clip(km, 0)), -1)
-        anchors = make_anchors_topk(qs, qp, ts, pos, per_seed=2)
+        return make_anchors_topk(qs, qp, ts, pos, per_seed=2)
+
+    def chain_all(ei, ai, mm):
+        C = ei.shape[0] // CHUNK
+        anchors = jax.lax.map(build, (ei.reshape(C, CHUNK),
+                                      ai.reshape(C, CHUNK)))
+        anchors = {key: v.reshape(ei.shape[0], *v.shape[2:])
+                   for key, v in anchors.items()}
         out = dp_from_anchors(anchors, k)
-        return summarize_dp(out, mm, alen, k, top_k)
+        return summarize_dp(out, mm, a_len[ai], k, top_k)
 
     ok_flat = mm_all < BIGM
     n_ok = jnp.sum(ok_flat.astype(jnp.int32))
@@ -132,10 +141,7 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
         ei_s = jnp.where(live, ei_all[cl], 0)
         ai_s = jnp.where(live, ai_all[cl], 0)
         mm_s = jnp.where(live, mm_all[cl], BIGM)
-        packed_s = jax.lax.map(process, (ei_s.reshape(-1, CHUNK),
-                                         ai_s.reshape(-1, CHUNK),
-                                         mm_s.reshape(-1, CHUNK)))
-        packed_s = packed_s.reshape(B, -1)
+        packed_s = chain_all(ei_s, ai_s, mm_s)
         packed_s = jnp.clip(packed_s, -32768, 32767)  # match the full
         # path's int16 clamp so both forms report identical summaries
         out = jnp.concatenate(
@@ -143,11 +149,7 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
             axis=1)
         extra = jnp.zeros((1, out.shape[1]), jnp.int32).at[0, 0].set(n_ok)
         return jnp.concatenate([out, extra], axis=0)
-    C = PC // CHUNK
-    packed = jax.lax.map(process, (ei_all.reshape(C, CHUNK),
-                                   ai_all.reshape(C, CHUNK),
-                                   mm_all.reshape(C, CHUNK)))
-    packed = packed.reshape(PC, -1)[:P]
+    packed = chain_all(ei_all, ai_all, mm_all)[:P]
     out = jnp.concatenate([ai_all[:P, None], packed], axis=1)
     # all genuine values fit int16 for <=32k-base windows; clamping the
     # empty-set sentinels halves the device->host fetch
