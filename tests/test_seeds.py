@@ -175,3 +175,106 @@ def test_matches_matmul_equals_oracle():
     for q, c in zip(queries, cands):
         oracle = idx.matches(q, 0.25)
         assert np.array_equal(np.sort(c), np.sort(oracle))
+
+
+def test_match_from_to_identical():
+    """match_from/match_to chain all seeds of identical sequences."""
+    from downpore_tpu.seeds.cluster import match_from, match_to
+    gaps = np.array([3, 10, 7, 12, 9, 4], np.int32)
+    seeds = np.array([5, 9, 2, 14, 7], np.int32)
+    a = SeedSequence(gaps, seeds, id=0, length=100)
+    b = SeedSequence(gaps.copy(), seeds.copy(), id=1, length=100)
+    mf = match_from(a, b, 0, 0, 0, 6)
+    assert mf.match_a == [0, 1, 2, 3, 4]
+    assert mf.match_b == [0, 1, 2, 3, 4]
+    mb = match_to(a, b, 4, 4, 0, 6)
+    assert mb.match_a == [0, 1, 2, 3]
+    assert mb.match_b == [0, 1, 2, 3]
+
+
+def test_match_from_skips_inserted_seed():
+    """An extra seed in b is stepped over when gaps stay in ratio."""
+    from downpore_tpu.seeds.cluster import match_from
+    a = SeedSequence(np.array([0, 20, 20, 20, 0], np.int32),
+                     np.array([5, 9, 2, 14], np.int32), id=0, length=110)
+    b = SeedSequence(np.array([0, 20, 8, 6, 20, 0], np.int32),
+                     np.array([5, 9, 77, 2, 14], np.int32), id=1,
+                     length=116)
+    mf = match_from(a, b, 0, 0, 0, 6)
+    assert mf.match_a == [0, 1, 2, 3]
+    assert mf.match_b == [0, 1, 3, 4]
+
+
+def test_merge_blends_gaps_and_keeps_all_seeds():
+    from downpore_tpu.seeds.cluster import match_from, merge
+    a = SeedSequence(np.array([0, 10, 30, 0], np.int32),
+                     np.array([5, 9, 14], np.int32), id=0, length=80)
+    b = SeedSequence(np.array([0, 20, 12, 8, 0], np.int32),
+                     np.array([5, 9, 42, 14], np.int32), id=1, length=90)
+    m = match_from(a, b, 0, 0, 0, 6)
+    assert m.match_a == [0, 1, 2]
+    merged, new_idx = merge(m, 6, 0.5)
+    # all distinct seeds present, in timeline order
+    assert list(merged.seeds) == [5, 9, 42, 14]
+    # matched gap 10/20 blends to 15
+    assert int(merged.gaps[1]) == 15
+    # index map points at the right seeds
+    assert [int(merged.seeds[new_idx[i]]) for i in range(3)] == [5, 9, 14]
+
+
+def test_cluster_consensus_recovers_truth():
+    """Noisy copies of a seed sequence -> consensus with full support."""
+    from downpore_tpu.seeds.cluster import consensus
+    rng = np.random.default_rng(17)
+    k = 8
+    n = 40
+    truth_seeds = rng.choice(5000, n, replace=False).astype(np.int32)
+    truth_gaps = rng.integers(5, 40, n + 1).astype(np.int32)
+
+    def noisy_copy(sid):
+        keep = rng.random(n) > 0.12          # dropped seeds
+        gaps, seeds = [int(truth_gaps[0])], []
+        acc = 0
+        for i in range(n):
+            g = int(truth_gaps[i]) + int(rng.integers(-2, 3))
+            if i == 0:
+                g = int(truth_gaps[0])
+            if keep[i]:
+                seeds.append(int(truth_seeds[i]))
+                gaps.append(acc + int(rng.integers(-2, 3)) if seeds[:-1]
+                            else g)
+                acc = 0
+            else:
+                acc += g + k
+        # rebuild gaps properly: distance since previous kept seed
+        gaps = [0]
+        acc = int(truth_gaps[0])
+        for i in range(n):
+            if keep[i]:
+                gaps.append(acc + int(rng.integers(0, 3)))
+                acc = 0
+            else:
+                acc += int(truth_gaps[i + 1]) + k
+                continue
+            acc = int(truth_gaps[i + 1])
+        gaps = [gaps[1]] + gaps[2:] + [0]
+        s = SeedSequence(np.array(gaps, np.int32),
+                         np.array(seeds, np.int32), id=sid, length=0)
+        s.length = s.seed_offset(s.num_seeds - 1, k) + k
+        first = int(np.flatnonzero(keep)[0])
+        return s, first
+
+    seqs, anchors = [], []
+    for sid in range(8):
+        s, first = noisy_copy(sid)
+        seqs.append(s)
+        anchors.append(0)   # anchor at each copy's first seed
+    badness = list(range(8))
+    result = consensus(seqs, badness, anchors, [0] * 8, k)
+    assert len(result) >= 5          # most members re-align
+    target = result[0].seq_a
+    # consensus seeds are a subsequence of the truth ordering
+    ti = {int(s): i for i, s in enumerate(truth_seeds)}
+    order = [ti[int(s)] for s in target.seeds if int(s) in ti]
+    assert order == sorted(order)
+    assert len(order) >= n // 2      # most truth seeds recovered
