@@ -15,9 +15,10 @@ class OverlapCommand(Command):
         super().__init__(
             ["overlap_size", "k", "num_seeds", "seed_batch_size",
              "chunk_size", "query_batch_size", "min_hits", "num_workers",
-             "input", "seed_values", "himem", "data_parallel"],
+             "input", "seed_values", "himem", "data_parallel",
+             "checkpoint"],
             ["1000", "10", "15", "10000", "10000", "20000", "0.25", "4",
-             "", "", "true", "false"],
+             "", "", "true", "false", ""],
             ["Size of overlap to search for in bases",
              "Number of bases in each seed",
              "Minimum number of seeds to generate for each overlap query",
@@ -30,7 +31,8 @@ class OverlapCommand(Command):
              "File containing values to use during seed selection.",
              "Whether to cache all reads in memory",
              "Shard query batches across all attached devices "
-             "(jax.sharding data mesh; the chunk index replicates)"])
+             "(jax.sharding data mesh; the chunk index replicates)",
+             "Snapshot file for checkpoint/resume at round boundaries"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -61,6 +63,15 @@ class OverlapCommand(Command):
             mesh = make_mesh()
         first_sequence = 0
         round_no = 0
+        ckpt = args.get("checkpoint") or None
+        if ckpt:
+            import os
+            if os.path.exists(ckpt):
+                progress = seq_set.load_state(ckpt)
+                first_sequence = int(progress.get("first_sequence", 0))
+                round_no = int(progress.get("round", 0))
+                print(f"Resuming from round {round_no} "
+                      f"(sequence {first_sequence}).", file=sys.stderr)
         while True:
             index = SeedIndex(k)
             overlapper = Overlapper(index, chunk_size, overlap_size,
@@ -90,6 +101,9 @@ class OverlapCommand(Command):
                 if len(results) > 1:
                     self._final_check(results, index, seq_set, overlap_size)
             round_no += 1
+            if ckpt:
+                seq_set.save_state(ckpt, {"first_sequence": first_sequence,
+                                          "round": round_no})
 
     def _final_check(self, results, index, seq_set, overlap_size):
         """PAF emission + full-coverage ignore

@@ -17,10 +17,10 @@ class TrimCommand(Command):
              "extra_middle_trim", "tag_adapters", "verbosity",
              "front_adapters", "back_adapters", "num_workers", "himem",
              "demultiplex", "require_pairs", "determine_adapters",
-             "data_parallel"],
+             "data_parallel", "checkpoint", "profile"],
             ["", "6", "5000", "85", "false", "10000", "90", "5", "100",
              "true", "1", "", "", "4", "false", "", "false", "true",
-             "false"],
+             "false", "", ""],
             ["Fasta/fastq/gzip input file",
              "k-mer size to use when matching adapters",
              "Split long reads into chunks of this size when indexing",
@@ -40,7 +40,9 @@ class TrimCommand(Command):
              "Whether front/back adapters with the same name must appear together",
              "Whether to use a fixed set of adapters or to search for those present",
              "Shard window batches across all attached devices "
-             "(jax.sharding data mesh; adapter tables replicate)"])
+             "(jax.sharding data mesh; adapter tables replicate)",
+             "Snapshot file for checkpoint/resume at batch boundaries",
+             "Directory to write a JAX profiler trace to"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -66,8 +68,21 @@ class TrimCommand(Command):
             not parse_bool(args["discard_middle"]),
             parse_bool(args["tag_adapters"]),
             parse_bool(args["require_pairs"]))
-        trimmer.trim(seq_set)
+        from ..utils.metrics import StageTimer, start_profiler, \
+            stop_profiler
+        timer = StageTimer(enabled=parse_int(args["verbosity"]) >= 1)
+        if args.get("profile"):
+            start_profiler(args["profile"])
+        try:
+            with timer.stage("trim"):
+                trimmer.trim(seq_set,
+                             checkpoint=args.get("checkpoint") or None,
+                             timer=timer)
+        finally:
+            if args.get("profile"):
+                stop_profiler()
         trimmer.print_stats()
+        timer.report()
         print("Writing trimmed sequences...", file=sys.stderr)
         if args.get("demultiplex"):
             seq_set.demultiplex(args["demultiplex"])

@@ -327,6 +327,73 @@ class SequenceSet:
         self._extras.append(seq)
         self._extra_names.append(name)
 
+    # -- checkpoint/resume ---------------------------------------------
+    # The reference has no in-process checkpointing; its trims are
+    # re-readable offsets (ref: sequence/seqio.go:378-386), which makes
+    # the whole mutable state small enough to snapshot at batch/round
+    # boundaries (SURVEY §5).
+    def save_state(self, path: str, progress: Optional[dict] = None):
+        """Snapshot trims/ignores/renames/extras plus a caller progress
+        dict to a JSON file (atomic rename)."""
+        import json
+        import os
+        self._build_index()
+        n = len(self.spans)
+        state = {
+            "filename": self.filename,
+            "names": self.names[:n],
+            "ignore": self.ignore[:n],
+            "front_trim": self.front_trim[:n],
+            "back_trim": self.back_trim[:n],
+            "extras": [[nm, str(s)]
+                       for s, nm in zip(self._extras, self._extra_names)],
+            "extra_ignore": self.ignore[n:n + len(self._extras)],
+            "progress": progress or {},
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str) -> dict:
+        """Restore a snapshot written by ``save_state``; returns the
+        progress dict.  Refuses snapshots from a different input file."""
+        import json
+        with open(path) as f:
+            state = json.load(f)
+        if state.get("filename") != self.filename:
+            raise ValueError(
+                f"checkpoint is for {state.get('filename')!r}, "
+                f"not {self.filename!r}")
+        self._build_index()
+        n = len(self.spans)
+        self.names[:n] = state["names"]
+        self.ignore[:n] = state["ignore"]
+        # lengths track trims; reapply via the setters
+        for rid, t in enumerate(state["front_trim"]):
+            if t:
+                self.set_front_trim(rid, t)
+        for rid, t in enumerate(state["back_trim"]):
+            if t:
+                self.set_back_trim(rid, t)
+        self._extras = []
+        self._extra_names = []
+        ex_ignore = state.get("extra_ignore", [])
+        for i, (name, bases) in enumerate(state["extras"]):
+            rid = n + i
+            s = Sequence.from_string(bases, id=rid)
+            self._extras.append(s)
+            self._extra_names.append(name)
+            # materialize bookkeeping so streaming sees restored flags
+            self.ignore.append(bool(ex_ignore[i]) if i < len(ex_ignore)
+                               else False)
+            self.names.append(name)
+            self.lengths.append(len(s))
+            self.front_trim.append(0)
+            self.back_trim.append(0)
+            self.quality.append(20)
+        return state.get("progress", {})
+
     # -- output --------------------------------------------------------
     def _format(self, seq: Sequence, full_names: bool) -> str:
         name = self.get_name(seq.id) if full_names else str(seq.id)

@@ -264,32 +264,65 @@ class Trimmer:
                     enabled[ai] = True
 
     # -- Trim -------------------------------------------------------------
-    def trim(self, seqs, batch_size: int = 2048, max_inflight: int = 2):
+    def trim(self, seqs, batch_size: int = 2048, max_inflight: int = 2,
+             checkpoint: Optional[str] = None, timer=None):
         """Edge pass + middle pass over all reads
         (ref: trim/trim.go:136-257).
 
         Up to ``max_inflight`` edge batches (front + back dispatches
         each) stay in flight before the oldest is fetched, so device
-        compute, transfers and the host link round trips pipeline."""
+        compute, transfers and the host link round trips pipeline.
+
+        ``checkpoint`` names a JSON snapshot file updated after every
+        finished edge batch and after the middle pass; an interrupted run
+        restarted with the same path resumes where it stopped (the
+        natural resume points SURVEY §5 calls for)."""
+        import os
         from collections import deque
-        self._log("Trimming ends and indexing all sequences against",
-                  len(self.front_adapters), "adapters...")
-        pending = deque()
-        batch: List[Sequence] = []
-        for seq in seqs.get_sequences():
-            batch.append(seq)
-            if len(batch) >= batch_size:
-                pending.append(self._dispatch_edge_batch(batch))
-                batch = []
-                if len(pending) > max_inflight:
-                    self._finish_edge_batch(seqs, pending.popleft())
-        if batch:
-            pending.append(self._dispatch_edge_batch(batch))
-        while pending:
-            self._finish_edge_batch(seqs, pending.popleft())
+        progress = {}
+        if checkpoint and os.path.exists(checkpoint):
+            progress = seqs.load_state(checkpoint)
+            self._log("Resuming from checkpoint:", progress)
+        if progress.get("middle_done"):
+            return
+        start_rid = int(progress.get("next_rid", 0))
+        if not progress.get("edges_done"):
+            self._log("Trimming ends and indexing all sequences against",
+                      len(self.front_adapters), "adapters...")
+            pending = deque()   # (state, last_rid)
+            batch: List[Sequence] = []
+
+            def finish_one():
+                state, last_rid = pending.popleft()
+                self._finish_edge_batch(seqs, state)
+                if checkpoint:
+                    seqs.save_state(checkpoint, {"next_rid": last_rid + 1})
+
+            n_edge = 0
+            for seq in seqs.get_sequences(start=start_rid):
+                batch.append(seq)
+                n_edge += 1
+                if len(batch) >= batch_size:
+                    pending.append((self._dispatch_edge_batch(batch),
+                                    batch[-1].id))
+                    batch = []
+                    if len(pending) > max_inflight:
+                        finish_one()
+            if batch:
+                pending.append((self._dispatch_edge_batch(batch),
+                                batch[-1].id))
+            while pending:
+                finish_one()
+            if timer is not None:
+                timer.add_items("trim:edges", n_edge)
+            if checkpoint:
+                seqs.save_state(checkpoint, {"edges_done": True})
 
         # middle pass: chunk interiors into the index and split
         self._middle_pass(seqs)
+        if checkpoint:
+            seqs.save_state(checkpoint,
+                            {"edges_done": True, "middle_done": True})
 
     def _dispatch_edge_batch(self, batch: List[Sequence]):
         """Upload one edge batch and enqueue both matches (no fetch)."""

@@ -160,3 +160,16 @@ def load_confusion_matrix(filename: str) -> Tuple[np.ndarray, int]:
                     cost = 15
                 matrix[from_kmer][kmer] = cost
     return matrix, k
+
+
+def long_kmer_occurrences(seqs, k: int):
+    """Sparse k-mer counts for large k where a dense 4^k table would not
+    fit (ref: util/sequtil/kmers.go:9-32).  Returns {kmer_value: count}."""
+    from collections import Counter
+    counts = Counter()
+    for seq in seqs:
+        ks = seq.kmers(k)
+        if ks.size:
+            vals, ns = np.unique(ks, return_counts=True)
+            counts.update(dict(zip(vals.tolist(), ns.tolist())))
+    return counts

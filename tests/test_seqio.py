@@ -172,3 +172,105 @@ def test_demultiplex(tmp_path, fasta_file):
     assert files == ["Barcode01.fasta", "Barcode02.fasta"]
     content = (out / "Barcode01.fasta").read_text()
     assert content == ">read1\nACGTACGTACGTACGTACGT\n"
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    """save_state/load_state restores trims, ignores, renames and split
+    extras; a mismatched input file is refused."""
+    from downpore_tpu.core import Sequence
+    p = tmp_path / "reads.fasta"
+    with open(p, "w") as f:
+        for i in range(4):
+            f.write(f">r{i}\n{'ACGT' * 50}\n")
+    ss = SequenceSet(str(p))
+    assert ss.size == 4                       # builds the index
+    ss.set_front_trim(0, 10)
+    ss.set_back_trim(1, 7)
+    ss.set_ignore(2, True)
+    ss.set_name(3, "renamed")
+    ss.add_sequence(Sequence.from_string("ACGTACGTACGT", id=4), "half")
+    ck = str(tmp_path / "state.json")
+    ss.save_state(ck, {"next_rid": 2})
+
+    ss2 = SequenceSet(str(p))
+    progress = ss2.load_state(ck)
+    assert progress == {"next_rid": 2}
+    out = {s.id: s for s in ss2.get_sequences()}
+    assert 2 not in out                       # ignore restored
+    assert len(out[0]) == 190                 # front trim applied
+    assert len(out[1]) == 193                 # back trim applied
+    assert ss2.get_name(3) == "renamed"
+    assert str(out[4]) == "ACGTACGTACGT"      # extra restored
+    assert ss2.get_name(4) == "half"
+
+    other = tmp_path / "other.fasta"
+    other.write_text(">x\nACGT\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SequenceSet(str(other)).load_state(ck)
+
+
+def test_trim_checkpoint_resume(tmp_path):
+    """A trim interrupted after the edge pass resumes into an identical
+    final output."""
+    import io as _io
+    import numpy as np
+    from downpore_tpu.trim.trimmer import load_trimmer
+    rng = np.random.default_rng(4)
+    front = "AATGTACTTCGTTCAGTTACGTATTGCT"
+    p = tmp_path / "reads.fastq"
+    with open(p, "w") as f:
+        for i in range(12):
+            core = "".join("ACGT"[j] for j in rng.integers(0, 4, 700))
+            r = front + core
+            f.write(f"@read{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+    def run(checkpoint=None, interrupt=False):
+        t = load_trimmer("", "", 6, verbosity=0)
+        ss = SequenceSet(str(p), min_length=50)
+        if interrupt:
+            # stop right after the edge pass by making the middle pass
+            # raise once
+            orig = type(t)._middle_pass
+            def boom(self, seqs, **kw):
+                raise KeyboardInterrupt
+            type(t)._middle_pass = boom
+            try:
+                t.trim(ss, batch_size=4, checkpoint=checkpoint)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                type(t)._middle_pass = orig
+            return None
+        t.trim(ss, batch_size=4, checkpoint=checkpoint)
+        out = _io.StringIO()
+        ss.write(out, True)
+        return out.getvalue()
+
+    expected = run()
+    ck = str(tmp_path / "trim.json")
+    run(checkpoint=ck, interrupt=True)       # edge pass only, then die
+    resumed = run(checkpoint=ck)             # fresh process resumes
+    assert resumed == expected
+
+
+def test_stage_timer(capsys):
+    from downpore_tpu.utils import StageTimer
+    t = StageTimer()
+    with t.stage("phase", items=100):
+        pass
+    t.report()
+    err = capsys.readouterr().err
+    assert "[stage] phase" in err and "100 items" in err
+
+
+def test_long_kmer_occurrences():
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.utils import long_kmer_occurrences, kmer_occurrences
+    s = Sequence.from_string("ACGTACGTAACGT", id=0)
+    k = 5
+    sparse = long_kmer_occurrences([s], k)
+    dense = kmer_occurrences([s], k)
+    for km, n in sparse.items():
+        assert dense[km] == n
+    assert sum(sparse.values()) == int(dense.sum())
