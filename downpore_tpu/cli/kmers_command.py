@@ -86,6 +86,13 @@ class KmersCommand(Command):
              "Dimensions for heatmaps", "Number of worker threads to use"])
 
     def run(self, args):
+        import sys
+        for req in ("input", "alignment", "reference"):
+            if not args.get(req):
+                print(f"kmers requires -{req} (fastq reads, a SAM "
+                      "alignment and the reference fasta)",
+                      file=sys.stderr)
+                raise SystemExit(1)
         k = parse_int(args["k"])
         map_size = parse_int(args["map_size"])
         if k > 8:
