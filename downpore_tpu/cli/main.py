@@ -3,9 +3,27 @@ with the same commands, flags and help output shape as the reference binary
 (ref: downpore.go:53-92)."""
 from __future__ import annotations
 
+import os
 import sys
 
 from .framework import aligned_print, parse_argv
+
+
+def _apply_backend_env():
+    """Honor JAX_PLATFORMS / DOWNPORE_BACKEND for the CLI.
+
+    Site configuration in some images registers a remote TPU platform via
+    ``jax.config`` at interpreter start, which beats the JAX_PLATFORMS env
+    var and can stall CLI startup for minutes when the device link is
+    busy.  Users asking for a backend explicitly get it."""
+    want = os.environ.get("DOWNPORE_BACKEND") or \
+        os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
+_apply_backend_env()
 
 
 def get_commands():

@@ -24,8 +24,6 @@ import numpy as np
 
 from ..core.sequence import Sequence
 from ..seeds import SeedIndex, SeedSequence
-from ..ops import match as match_ops
-from ..ops.chain import run_chain_summary
 
 
 class Mapping:
@@ -78,23 +76,12 @@ class Mapper:
         self._build_device_index()
 
     def _build_device_index(self):
-        S = self.index.num_seeds
-        self.H = match_ops.choose_hash_size(S)
-        self.membership = match_ops.build_membership(
-            [s.seeds for s in self.index.sequences], S, self.H)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            import jax
-            self.membership = jax.device_put(
-                self.membership, NamedSharding(self.mesh, PartitionSpec()))
-        # "usable" seeds: in at least one but not all chunks
-        self.usable = (self.index._seed_counts > 0) & \
-            (self.index._seed_counts < self.index.num_sequences)
-        # usable for Matches only excludes all-chunk seeds (adj always
-        # exists once allocated); absent seeds contribute zero counts
-        self.usable_m = self.index._seed_counts < self.index.num_sequences
-        self._chunk_pos = [s.seed_positions(self.k).astype(np.int32)
-                          for s in self.index.sequences]
+        """Resident fused engine: hashed membership + chunk seed tables
+        live on device; each query batch is one dispatch
+        (``ops.map_engine``)."""
+        from ..ops.map_engine import MapEngine
+        self.engine = MapEngine(self.index, self.k, nq=64, nt=256,
+                                mesh=self.mesh, hit_fraction=0.25)
 
     # ------------------------------------------------------------------
     def as_string(self, m: Mapping) -> str:
@@ -126,58 +113,15 @@ class Mapper:
             metas.append((qi, False, sq))
             seed_queries.append(rq)
             metas.append((qi, True, rq))
-        V, VD, num_sets = match_ops.build_query_rows(
-            seed_queries, self.index.num_seeds, self.usable_m, self.H)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            import jax
-            D = self.mesh.shape["data"]
-            QB = ((V.shape[0] + D - 1) // D) * D
-            if QB != V.shape[0]:
-                z = np.zeros((QB - V.shape[0], V.shape[1]), V.dtype)
-                V = np.concatenate([V, z])
-                VD = np.concatenate([VD, z])
-            sh = NamedSharding(self.mesh, PartitionSpec("data"))
-            V = jax.device_put(V, sh)
-            VD = jax.device_put(VD, sh)
-        Qn = len(seed_queries)
-        counts = np.asarray(match_ops.hit_counts(V, self.membership))[:Qn]
-        dcounts = np.asarray(match_ops.hit_counts(VD, self.membership))[:Qn]
-        cand_lists = match_ops.candidates_from_counts(counts, num_sets, 0.25)
-
-        # build chain pairs for all (query, candidate)
-        qs_l, qp_l, ts_l, tp_l, mm_l, al_l, pair_meta = \
-            [], [], [], [], [], [], []
-        for mi, (qi, is_rc, sq) in enumerate(metas):
-            if sq.num_seeds == 0:
-                continue
-            qpos = sq.seed_positions(k).astype(np.int32)
-            qmask = np.zeros(self.index.num_seeds, dtype=bool)
-            qmask[sq.seeds] = True
-            base_min = max(5, sq.num_seeds // 5)
-            for ci in cand_lists[mi]:
-                chunk = self.index.sequences[ci]
-                tkeep = qmask[chunk.seeds]
-                qs_l.append(sq.seeds)
-                qp_l.append(qpos)
-                ts_l.append(chunk.seeds[tkeep])
-                tp_l.append(self._chunk_pos[ci][tkeep])
-                mm_l.append(base_min)
-                al_l.append(sq.length)
-                pair_meta.append((mi, int(ci)))
-        out = run_chain_summary(qs_l, qp_l, ts_l, tp_l, mm_l, al_l, k,
-                                nq=64, nt=64, max_anchors=128,
-                                mesh=self.mesh)
+        base_min = np.array([max(5, sq.num_seeds // 5)
+                             for sq in seed_queries], np.int32)
+        per_meta = self.engine.query(seed_queries, base_min)
         results: List[List[Mapping]] = [[] for _ in queries]
-        if out is None:
+        if not per_meta:
             return results
 
         # walk pairs grouped by query seq, applying the adaptive thresholds
         # in candidate order (ref: mapping.go:494-589)
-        pair_by_meta = {}
-        for pi, (mi, ci) in enumerate(pair_meta):
-            pair_by_meta.setdefault(mi, []).append((pi, ci))
-        min_matches_by_query = {}
         for qi in range(len(queries)):
             fw_mi, rc_mi = 2 * qi, 2 * qi + 1
             sq, rq = metas[fw_mi][2], metas[rc_mi][2]
@@ -186,15 +130,15 @@ class Mapper:
             res: List[Mapping] = []
             for mi, is_rc in ((fw_mi, False), (rc_mi, True)):
                 seed_q = metas[mi][2]
-                for pi, ci in pair_by_meta.get(mi, []):
+                for ci, dcount, summ in per_meta[mi]:
                     cur_min = min_rc if is_rc else min_matches
                     # popcount gate on distinct shared seeds
-                    if dcounts[mi, ci] < cur_min:
+                    if dcount < cur_min:
                         continue
-                    best = int(out["best"][pi])
+                    best = int(summ["best"])
                     if best < cur_min:
                         continue
-                    ms = self._extract_chains(out, pi, seed_q,
+                    ms = self._extract_chains(summ, seed_q,
                                               self.index.sequences[ci],
                                               is_rc, queries[qi], cur_min)
                     for m, chain_len in ms:
@@ -208,7 +152,7 @@ class Mapper:
             results[qi] = res
         return results
 
-    def _extract_chains(self, out, pi, seed_q: SeedSequence,
+    def _extract_chains(self, summ, seed_q: SeedSequence,
                         chunk: SeedSequence, is_rc: bool, query: Sequence,
                         cur_min: int):
         """Mappings from the top good chains of one pair, one per distinct
@@ -216,15 +160,15 @@ class Mapper:
         k = self.k
         ref_len = len(self.reference)
         starts = {}
-        for j in range(len(out["top_valid"][pi])):
-            if not out["top_valid"][pi][j]:
+        for j in range(len(summ["top_valid"])):
+            if not summ["top_valid"][j]:
                 continue
-            if int(out["top_len"][pi][j]) < cur_min:
+            if int(summ["top_len"][j]) < cur_min:
                 continue
-            key = (int(out["top_sqp"][pi][j]), int(out["top_stp"][pi][j]))
-            stat = (int(out["top_len"][pi][j]),
-                    int(out["top_cov_t"][pi][j]),
-                    int(out["top_eqp"][pi][j]), int(out["top_etp"][pi][j]))
+            key = (int(summ["top_sqp"][j]), int(summ["top_stp"][j]))
+            stat = (int(summ["top_len"][j]),
+                    int(summ["top_cov_t"][j]),
+                    int(summ["top_eqp"][j]), int(summ["top_etp"][j]))
             prev = starts.get(key)
             if prev is None or stat > prev:
                 starts[key] = stat

@@ -228,9 +228,9 @@ def chain_batch_summary(qseeds, qpos, tseeds, tpos, min_match, alen,
     return summarize_dp(out, min_match, alen, k, top_k)
 
 
-def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
-    """On-device aggregation of a DP output dict into the packed summary
-    array (see chain_batch_summary)."""
+def summarize_scalars(out, min_match, alen, k: int):
+    """Per-pair scalar aggregates of a DP output dict: the quantities the
+    pipelines' decision rules consume (see chain_batch_summary)."""
     through = out["through"]
     valid = out["valid"]
     big = jnp.int32(1 << 30)
@@ -244,6 +244,18 @@ def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
     latest = jnp.max(jnp.where(good, ends, -big), axis=1)
     is_start = good & (out["f"] == 1)
     n_chains = jnp.sum(is_start, axis=1)
+    return {"best": best, "ident_cov_q": ident_cov_q, "earliest": earliest,
+            "latest": latest, "n_chains": n_chains, "good": good,
+            "is_start": is_start}
+
+
+def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
+    """On-device aggregation of a DP output dict into the packed summary
+    array (see chain_batch_summary)."""
+    s = summarize_scalars(out, min_match, alen, k)
+    best, ident_cov_q = s["best"], s["ident_cov_q"]
+    earliest, latest, n_chains = s["earliest"], s["latest"], s["n_chains"]
+    is_start = s["is_start"]
     key = jnp.where(is_start, out["cov_q"], -1)
     _, idx = jax.lax.top_k(key, top_k)
     take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
@@ -254,7 +266,7 @@ def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
         (take(key) >= 0).astype(jnp.int32),
         take(out["start_qp"]), take(out["start_tp"]),
         take(out["end_qp"]), take(out["end_tp"]),
-        take(out["cov_q"]), take(out["cov_t"]), take(through),
+        take(out["cov_q"]), take(out["cov_t"]), take(out["through"]),
     ], axis=1)
     return packed
 

@@ -1,0 +1,257 @@
+"""Device-resident fused mapping engine.
+
+The reference's performMapping hot loop (ref: mapping/mapping.go:489-611)
+does, per query window: soft-union candidate retrieval, a popcount gate,
+and greedy chaining against each candidate chunk.  The r01 host path
+batched each stage but re-shipped query matrices and ragged per-pair
+target lists every stage — several MB and 3+ round trips per batch, which
+dominates when the host<->device link is slow and is overhead always.
+
+Here the whole pipeline is ONE dispatch against resident state:
+
+* ``membership [H, C] int8`` — hashed seed-bucket -> chunk matrix,
+* ``t_seeds/t_pos [C, NT]`` — padded per-chunk seed tables,
+
+and per batch the host uploads only compact per-query vectors (seed ids,
+positions, run/distinct bucket lists — a few hundred KB).  On device:
+retrieval counts and the distinct-seed gate are gathers over
+``membership`` rows summed on the VPU; passing (query, chunk) pairs are
+compacted to a fixed budget; the anchor chain DP runs on those pairs with
+targets gathered from the resident chunk tables; and one packed
+``[budget, 40] int32`` array of (query, chunk, dcount, summary) rows is
+fetched — bytes per candidate instead of MB per stage.
+
+The adaptive min-match walk stays on host (it is sequential per query and
+consumes only these rows), exactly as the reference iterates candidates.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import match as match_ops
+from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
+    unpack_summary, _bucket
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
+                                              "chunk"))
+def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
+               membership, t_seeds, t_pos,
+               k: int, pair_budget: int, top_k: int = 4,
+               chunk: int = 1024):
+    """Retrieval + gate + chain + summary in one dispatch.
+
+    Returns ``[pair_budget + 1, 3 + W] int32``: rows of (query idx, chunk
+    idx, distinct shared-seed count, packed chain summary); the trailing
+    row carries the true passing-pair count for overflow detection.
+    """
+    M = q_seeds.shape[0]
+    C = membership.shape[1]
+
+    # retrieval: counts from run buckets, distinct counts from distinct
+    # buckets — two gather+sum reductions over the membership matrix
+    def count_rows(buckets):
+        live = buckets >= 0
+        rows = jnp.take(membership, jnp.clip(buckets, 0), axis=0)  # [M,R,C]
+        rows = jnp.where(live[:, :, None], rows, 0)
+        return jnp.sum(rows.astype(jnp.int32), axis=1)
+
+    counts = count_rows(q_rb)
+    dcounts = count_rows(q_db)
+    ok = (counts >= min_count[:, None]) & (dcounts >= base_min[:, None]) \
+        & (min_count[:, None] > 0)
+
+    # compact passing pairs (query-major, chunk-ascending — the order the
+    # reference walks candidates) to the fixed budget
+    ok_flat = ok.reshape(-1)
+    n_ok = jnp.sum(ok_flat.astype(jnp.int32))
+    sel = jnp.nonzero(ok_flat, size=pair_budget, fill_value=M * C)[0]
+    live = sel < M * C
+    cl = jnp.clip(sel, 0, M * C - 1)
+    mi = jnp.where(live, cl // C, 0)
+    ci = jnp.where(live, cl % C, 0)
+    mm = jnp.where(live, base_min[mi], jnp.int32(1 << 20))
+
+    # chain DP on the selected pairs; anchors built in fixed chunks to
+    # bound the [chunk, NQ, NT] equality tensor
+    def build(args):
+        mi_c, ci_c = args
+        return make_anchors_topk(q_seeds[mi_c], q_pos[mi_c],
+                                 t_seeds[ci_c].astype(jnp.int32),
+                                 t_pos[ci_c].astype(jnp.int32), per_seed=2)
+
+    B = pair_budget
+    CH = min(chunk, B)
+    NCH = (B + CH - 1) // CH
+    pad = NCH * CH - B
+    mi_p = jnp.concatenate([mi, jnp.zeros(pad, mi.dtype)]) if pad else mi
+    ci_p = jnp.concatenate([ci, jnp.zeros(pad, ci.dtype)]) if pad else ci
+    anchors = jax.lax.map(build, (mi_p.reshape(NCH, CH),
+                                  ci_p.reshape(NCH, CH)))
+    anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
+               for key, v in anchors.items()}
+    out = dp_from_anchors(anchors, k)
+    packed = summarize_dp(out, mm, q_len[mi], k, top_k)
+    dc = dcounts[mi, ci]
+    rows = jnp.concatenate([
+        jnp.where(live, mi, -1)[:, None], ci[:, None], dc[:, None], packed],
+        axis=1)
+    tail = jnp.zeros((1, rows.shape[1]), jnp.int32).at[0, 0].set(n_ok)
+    return jnp.concatenate([rows, tail], axis=0)
+
+
+class MapEngine:
+    """Resident device index + one-dispatch query pipeline for the mapper
+    (and, with ``variant='aligner'`` semantics handled by callers, any
+    chunk-index consumer)."""
+
+    def __init__(self, index, k: int, nq: int = 64, nt: int = 256,
+                 mesh=None, hit_fraction: float = 0.25):
+        self.k = k
+        self.nq = nq
+        self.nt = nt
+        self.mesh = mesh
+        self.hit_fraction = hit_fraction
+        S = index.num_seeds
+        self.H = match_ops.choose_hash_size(S)
+        self.num_seeds = S
+        C = index.num_sequences
+        self.C = C
+        CP = max(128, ((C + 127) // 128) * 128)
+        mem = np.zeros((self.H, CP), dtype=np.int8)
+        t_seeds = np.full((max(1, CP), nt), -1, np.int32)
+        t_pos = np.zeros((max(1, CP), nt), np.int32)
+        self.chunk_nseeds = np.zeros(max(1, CP), np.int64)
+        for ci_, s in enumerate(index.sequences):
+            if s.seeds.size:
+                mem[match_ops.hash_ids(np.unique(s.seeds), S, self.H),
+                    ci_] = 1
+            m = min(s.num_seeds, nt)
+            t_seeds[ci_, :m] = s.seeds[:m]
+            t_pos[ci_, :m] = s.seed_positions(k)[:m]
+            self.chunk_nseeds[ci_] = s.num_seeds
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            self._data = NamedSharding(mesh, P("data"))
+            self._put = lambda a: jax.device_put(a, repl)
+            self._put_data = lambda a: jax.device_put(a, self._data)
+        else:
+            self._put = jax.device_put
+            self._put_data = jax.device_put
+        self.membership = self._put(mem)
+        self.t_seeds = self._put(t_seeds)
+        self.t_pos = self._put(t_pos)
+        # "usable" per Matches: seeds present in every chunk carry no info
+        if index._seed_counts is None:
+            index.index_sequences()
+        self.usable = np.asarray(index._seed_counts) < max(1, C)
+
+    # -- host-side query packing ---------------------------------------
+    def pack_queries(self, seed_queries: List) -> tuple:
+        """Seed sequences -> fixed-shape device inputs.
+
+        Run-collapse and the usable mask follow ``SeedIndex.matches``
+        (ref: seeds/seeds.go:335-353): unusable seeds are dropped, then
+        consecutive duplicates collapse; ``num_sets`` is the exact run
+        count even when hash buckets collide."""
+        M = len(seed_queries)
+        nq = self.nq
+        q_seeds = np.full((M, nq), -1, np.int32)
+        q_pos = np.zeros((M, nq), np.int32)
+        q_rb = np.full((M, nq), -1, np.int32)
+        q_db = np.full((M, nq), -1, np.int32)
+        num_sets = np.zeros(M, np.int32)
+        q_len = np.zeros(M, np.int32)
+        for i, sq in enumerate(seed_queries):
+            s = sq.seeds
+            m = min(s.shape[0], nq)
+            q_seeds[i, :m] = s[:m]
+            q_pos[i, :m] = sq.seed_positions(self.k)[:m]
+            q_len[i] = sq.length
+            f = s[self.usable[s]]
+            if f.size:
+                runs = f[np.concatenate([[True], f[1:] != f[:-1]])]
+                num_sets[i] = runs.shape[0]
+                rb = match_ops.hash_ids(runs, self.num_seeds, self.H)
+                r = min(rb.shape[0], nq)
+                q_rb[i, :r] = rb[:r]
+                db = np.unique(rb)
+                d = min(db.shape[0], nq)
+                q_db[i, :d] = db[:d]
+        return q_seeds, q_pos, q_rb, q_db, num_sets, q_len
+
+    def query(self, seed_queries: List, base_min: np.ndarray,
+              pair_budget: int = 4096, top_k: int = 4,
+              min_sets: int = 5):
+        """Run the fused pipeline; returns per query a list of
+        (chunk idx, distinct count, summary dict) in chunk order."""
+        futs = self.dispatch(seed_queries, base_min, pair_budget, top_k,
+                             min_sets)
+        return self.collect(futs)
+
+    def dispatch(self, seed_queries: List, base_min: np.ndarray,
+                 pair_budget: int = 4096, top_k: int = 4,
+                 min_sets: int = 5):
+        M = len(seed_queries)
+        if M == 0 or self.C == 0:
+            return (0, None, None, None)
+        q_seeds, q_pos, q_rb, q_db, num_sets, q_len = \
+            self.pack_queries(seed_queries)
+        # min_count per Matches: round(hit_fraction * num_sets); queries
+        # with too few usable seeds get no candidates (min_count = 0
+        # never passes the > 0 check)
+        min_count = (self.hit_fraction * num_sets + 0.5).astype(np.int64)
+        min_count[num_sets < min_sets] = 0
+        MB = _bucket(M)
+        if self.mesh is not None:
+            D = self.mesh.shape["data"]
+            MB = ((MB + D - 1) // D) * D
+
+        def padm(a, fill):
+            if a.shape[0] == MB:
+                return a
+            shape = (MB - a.shape[0],) + a.shape[1:]
+            return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+        args = [padm(q_seeds, -1), padm(q_pos, 0), padm(q_rb, -1),
+                padm(q_db, -1), padm(min_count.astype(np.int32), 0),
+                padm(np.asarray(base_min, np.int32), 1 << 20),
+                padm(q_len, 0)]
+        args = [self._put_data(a) for a in args]
+
+        def call(budget):
+            return _fused_map(*args, self.membership, self.t_seeds,
+                              self.t_pos, k=self.k, pair_budget=budget,
+                              top_k=top_k)
+
+        return (M, call(pair_budget), pair_budget, call)
+
+    def collect(self, futs, top_k: int = 4):
+        M, fut, pair_budget, call = futs
+        if fut is None:
+            return []
+        arr = np.asarray(fut)
+        n_ok = int(arr[-1, 0])
+        while n_ok > pair_budget:
+            # budget overflow: escalate 4x (compile once per size, then
+            # cached; overflows are rare at production budgets)
+            pair_budget *= 4
+            arr = np.asarray(call(pair_budget))
+            n_ok = int(arr[-1, 0])
+        rows = arr[:-1]
+        live = rows[:, 0] >= 0
+        rows = rows[live]
+        summaries = unpack_summary(rows[:, 3:], top_k)
+        out = [[] for _ in range(M)]
+        for b in range(rows.shape[0]):
+            mi = int(rows[b, 0])
+            if mi < M:
+                out[mi].append((int(rows[b, 1]), int(rows[b, 2]),
+                                {key: v[b] for key, v in summaries.items()}))
+        return out

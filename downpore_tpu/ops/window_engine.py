@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .chain import chain_batch_summary, _bucket
+from .chain import chain_batch_summary, _bucket, make_anchors_topk
 
 
 @jax.jit
@@ -58,6 +58,57 @@ def _chain_from_windows(a_seeds, a_pos, a_len, kmer2seed, kmers_dev,
     return chain_batch_summary(qs, qp, ts, pos, mm, alen,
                                k=k, max_anchors=max_anchors,
                                variant=variant, top_k=top_k)
+
+
+_BIGM = 1 << 20  # impossible min-match for gate-failing pairs
+
+
+def _gate_topk_pairs(kmers, lens, km_table, gate_min, chain_min,
+                     top_t: int):
+    """Gate counts + per-window top-``top_t`` adapter selection, flattened
+    to (window idx, adapter idx, min-match) pair vectors of length
+    ``n * top_t`` (gate-failing pairs get the impossible min-match)."""
+    counts = _gate_counts(kmers, lens, km_table)        # [n, A]
+    cvals, cai = jax.lax.top_k(counts, top_t)           # [n, T]
+    ok = cvals >= gate_min[cai]
+    n = kmers.shape[0]
+    ei = jnp.broadcast_to(jnp.arange(n)[:, None], (n, top_t)).reshape(-1)
+    ai = cai.reshape(-1)
+    mm = jnp.where(ok.reshape(-1), chain_min[ai], jnp.int32(_BIGM))
+    return ei, ai, mm
+
+
+def _pad_pairs(arrs, fills, chunk: int):
+    """Pad 1-D pair vectors up to a multiple of ``chunk``."""
+    P = arrs[0].shape[0]
+    PC = ((P + chunk - 1) // chunk) * chunk
+    if PC == P:
+        return arrs
+    return [jnp.concatenate([a, jnp.full(PC - P, f, a.dtype)])
+            for a, f in zip(arrs, fills)]
+
+
+def _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed, ei, ai,
+                     chunk: int = 4096):
+    """Anchor enumeration for (window, adapter) pairs in fixed chunks —
+    bounds the [chunk, NQ, W] equality tensor; the DP then runs on the
+    full pair tile (fewer sequential scan steps than chunked DP)."""
+
+    def build(args):
+        ei_c, ai_c = args
+        qs = a_seeds[ai_c].astype(jnp.int32)
+        qp = a_pos[ai_c].astype(jnp.int32)
+        km = kmers[ei_c].astype(jnp.int32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, km.shape, 1)
+        valid = pos < lens[ei_c][:, None]
+        ts = jnp.where(valid, jnp.take(kmer2seed, jnp.clip(km, 0)), -1)
+        return make_anchors_topk(qs, qp, ts, pos, per_seed=2)
+
+    C = ei.shape[0] // chunk
+    anchors = jax.lax.map(build, (ei.reshape(C, chunk),
+                                  ai.reshape(C, chunk)))
+    return {key: v.reshape(ei.shape[0], *v.shape[2:])
+            for key, v in anchors.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t",
@@ -157,6 +208,170 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
     return out.reshape(n, top_t, -1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t"))
+def _fused_edge_verdict(kmers, lens, km_table, gate_min, chain_min,
+                        a_seeds, a_pos, a_len, kmer2seed, is_barcode,
+                        k: int, max_anchors: int, top_t: int = 8):
+    """Edge pass fully on device: gate + chain + the per-edge adapter walk
+    of the reference's findMatches (ref: trim/trim.go:354-428).
+
+    Returns (verdict [n, 4] int32 of (found, best_match, earliest,
+    latest), per-adapter chain-count totals [A] int32).  The verdict rows
+    are the ONLY per-window data fetched — bytes per read instead of the
+    per-(window, adapter) summary grids, which dominated wall-clock when
+    the host link is slow."""
+    from .chain import dp_from_anchors, summarize_scalars
+    n, top_t_n = kmers.shape[0], top_t
+    ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
+                                  chain_min, top_t)
+    CHUNK = 4096
+    ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
+    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed,
+                               ei_p, ai_p)
+    out = dp_from_anchors(anchors, k)
+    s = summarize_scalars(out, mm_p, a_len[ai_p], k)
+
+    P = n * top_t
+    cut = lambda a: a[:P].reshape(n, top_t_n)
+    has = cut(s["n_chains"] > 0)
+    ai_t = cut(ai_p)
+    ident = cut((s["ident_cov_q"] * 100) // jnp.maximum(a_len[ai_p], 1))
+    e_t = cut(s["earliest"])
+    l_t = cut(s["latest"])
+    n_chains_t = cut(s["n_chains"])
+
+    # walk hits in adapter order, as findMatches does (the host-side twin
+    # iterated sorted(rows)): barcode precedence + the +-5% ambiguity rule
+    order = jnp.argsort(jnp.where(has, ai_t, jnp.int32(1 << 30)), axis=1)
+    g = lambda a: jnp.take_along_axis(a, order, axis=1)
+    has, ai_t, ident, e_t, l_t = g(has), g(ai_t), g(ident), g(e_t), g(l_t)
+
+    elen = lens + (k - 1)            # bases in each window
+    is_bc = is_barcode[ai_t] > 0
+
+    def step(t, st):
+        found, barcoded, ambiguous, best_i, best_a, early, late = st
+        hit = has[:, t]
+        a = ai_t[:, t]
+        idn = ident[:, t]
+        bc = is_bc[:, t]
+        case1 = hit & ~barcoded & bc
+        case2 = hit & barcoded & bc
+        case3 = hit & ~barcoded & ~bc & (idn > best_i)
+        delta = idn - best_i
+        ambiguous = jnp.where(case2, (delta > -5) & (delta < 5), ambiguous)
+        upd = case1 | case3 | (case2 & (idn > best_i))
+        best_i = jnp.where(upd, idn, best_i)
+        best_a = jnp.where(upd, a, best_a)
+        barcoded = barcoded | case1
+        early = jnp.where(hit, jnp.minimum(early, jnp.maximum(0, e_t[:, t])),
+                          early)
+        late = jnp.where(hit, jnp.maximum(late, jnp.minimum(elen, l_t[:, t])),
+                         late)
+        found = found | hit
+        return found, barcoded, ambiguous, best_i, best_a, early, late
+
+    zeros = jnp.zeros(n, jnp.int32)
+    false = jnp.zeros(n, bool)
+    st = (false, false, false, zeros, zeros, elen.astype(jnp.int32), zeros)
+    found, _, ambiguous, _, best_a, early, late = jax.lax.fori_loop(
+        0, top_t, step, st)
+    # ambiguous barcodes: trim but report no adapter (trim.go:423-426)
+    found = found & ~ambiguous
+    best_a = jnp.where(ambiguous, 0, best_a)
+    verdict = jnp.stack([found.astype(jnp.int32), best_a, early, late],
+                        axis=1)
+    counts_a = jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].add(
+        jnp.where(s["n_chains"] > 0, s["n_chains"], 0))
+    return verdict, counts_a
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t"))
+def _fused_enable(kmers, lens, km_table, gate_min, chain_min,
+                  a_seeds, a_pos, a_len, kmer2seed,
+                  k: int, max_anchors: int, top_t: int = 8):
+    """DetermineAdapters on device: per-adapter max covered query bases
+    over the whole batch (ref isNewFullMatch, trim/trim.go:326-352).
+    Fetches one [A] vector per batch."""
+    from .chain import dp_from_anchors, summarize_scalars
+    ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
+                                  chain_min, top_t)
+    CHUNK = 4096
+    ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
+    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed,
+                               ei_p, ai_p)
+    out = dp_from_anchors(anchors, k)
+    s = summarize_scalars(out, mm_p, a_len[ai_p], k)
+    cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
+    return jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].max(cov)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t",
+                                              "top_k", "pair_budget",
+                                              "det_budget"))
+def _fused_window_verdict(kmers, lens, km_table, gate_min, chain_min,
+                          a_seeds, a_pos, a_len, kmer2seed, mid_threshold,
+                          k: int, max_anchors: int, top_t: int = 8,
+                          top_k: int = 4, pair_budget: int = 16384,
+                          det_budget: int = 4096):
+    """Middle pass fully on device: gate + pair compaction + chain + the
+    identity-threshold detection filter (ref findSplit,
+    trim/trim.go:515-591).
+
+    Returns ``[det_budget + 1, 4]`` int32: rows of (window idx, adapter
+    idx, start offset in window, identity) for every top chain with
+    identity >= ``mid_threshold``; the trailing row holds
+    (gate-passing pair count, detection count, 0, 0) so callers can
+    detect pair- or detection-budget overflow (both rare: interior
+    windows almost never contain adapters)."""
+    from .chain import dp_from_anchors, summarize_scalars
+    n = kmers.shape[0]
+    ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
+                                  chain_min, top_t)
+    CHUNK = 4096
+    ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
+    PC = ei_p.shape[0]
+    ok_flat = mm_p < _BIGM
+    n_ok = jnp.sum(ok_flat.astype(jnp.int32))
+    if pair_budget and pair_budget < PC:
+        B = ((pair_budget + CHUNK - 1) // CHUNK) * CHUNK
+        sel = jnp.nonzero(ok_flat, size=B, fill_value=PC)[0]
+        live = sel < PC
+        cl = jnp.clip(sel, 0, PC - 1)
+        ei_s = jnp.where(live, ei_p[cl], 0)
+        ai_s = jnp.where(live, ai_p[cl], 0)
+        mm_s = jnp.where(live, mm_p[cl], _BIGM)
+    else:
+        ei_s, ai_s, mm_s = ei_p, ai_p, mm_p
+    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed,
+                               ei_s, ai_s)
+    out = dp_from_anchors(anchors, k)
+    alen_s = a_len[ai_s]
+    s = summarize_scalars(out, mm_s, alen_s, k)
+    # top chains per pair -> detection candidates
+    key = jnp.where(s["is_start"], out["cov_q"], -1)
+    _, idx = jax.lax.top_k(key, top_k)
+    take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
+    tvalid = take(key) >= 0
+    identity = (take(out["cov_q"]) * 100) // jnp.maximum(alen_s[:, None], 1)
+    det = tvalid & (identity >= mid_threshold)
+    start = take(out["start_tp"]) - take(out["start_qp"])
+    n_det = jnp.sum(det.astype(jnp.int32))
+    flat = det.reshape(-1)
+    didx = jnp.nonzero(flat, size=det_budget, fill_value=flat.shape[0])[0]
+    dlive = didx < flat.shape[0]
+    pi = jnp.clip(didx // top_k, 0, ei_s.shape[0] - 1)
+    ci = didx % top_k
+    pick = lambda arr2d: arr2d[pi, ci]
+    rows = jnp.stack([
+        jnp.where(dlive, ei_s[pi], -1),
+        jnp.where(dlive, ai_s[pi], 0),
+        jnp.where(dlive, pick(start), 0),
+        jnp.where(dlive, pick(identity), 0)], axis=1)
+    tail = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(n_ok).at[0, 1].set(n_det)
+    return jnp.concatenate([rows, tail], axis=0)
+
+
 class WindowChainEngine:
     """Per-Trimmer device state: adapter seed tables, kmer->seed map and
     kmer->adapter membership tables."""
@@ -204,6 +419,16 @@ class WindowChainEngine:
 
         self._front_km = km_table(front_sets)
         self._back_km = km_table(back_sets)
+
+        def bc_table(adapters, AP):
+            t = np.zeros(AP, np.int32)
+            for i, ad in enumerate(adapters):
+                if (ad.get_name() or "").startswith("Barcode"):
+                    t[i] = 1
+            return self._put(t)
+
+        self._front_bc = bc_table(front_adapters, self._front_km.shape[1])
+        self._back_bc = bc_table(back_adapters, self._back_km.shape[1])
 
     # -- per batch ------------------------------------------------------
     N_SLOTS = 8  # staging sets rotated so several uploads can be in
@@ -339,6 +564,128 @@ class WindowChainEngine:
                                     {key: v[j] for key, v in flat.items()}))
                 results.append(row)
         return results
+
+    def _pad_mins(self, table, gate_min, chain_min):
+        A = min(table.shape[1], len(gate_min))
+        gm = np.full(table.shape[1], 1 << 20, np.int32)
+        gm[:A] = gate_min[:A]
+        cm = np.ones(table.shape[1], np.int32)
+        cm[:A] = chain_min[:A]
+        return gm, cm, A
+
+    # -- fully on-device verdicts (fetch ~bytes per read) ---------------
+    def edge_verdict_dispatch(self, windows, front: bool,
+                              gate_min: np.ndarray, chain_min: np.ndarray,
+                              W: int, top_t: int = 8,
+                              max_anchors: int = 128, batch: int = 16384):
+        """Upload edge windows + enqueue the full on-device edge verdict;
+        returns futures (fetch via ``edge_verdict_collect``)."""
+        table = self._front_km if front else self._back_km
+        a_seeds, a_pos, a_len = self.front if front else self.back
+        is_bc = self._front_bc if front else self._back_bc
+        gm, cm, A = self._pad_mins(table, gate_min, chain_min)
+        if A == 0:
+            return [(len(windows), None)]
+        futures = []
+        for lo in range(0, len(windows), batch):
+            sub = windows[lo : lo + batch]
+            km_dev, lens_dev, n = self.upload(sub, W)
+            futures.append((n, _fused_edge_verdict(
+                km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
+                self.kmer2seed, is_bc, k=self.k, max_anchors=max_anchors,
+                top_t=top_t)))
+        return futures
+
+    def edge_verdict_collect(self, futures, num_adapters: int):
+        """Fetch edge verdicts: ([n, 4] int32 rows of (found, best_match,
+        earliest, latest), per-adapter chain-count totals [A])."""
+        rows = []
+        counts = np.zeros(num_adapters, np.int64)
+        for n, fut in futures:
+            if fut is None:
+                rows.append(np.zeros((n, 4), np.int32))
+                continue
+            verdict, c = jax.device_get(fut)
+            rows.append(np.asarray(verdict)[:n])
+            counts += np.asarray(c)[:num_adapters]
+        return np.concatenate(rows) if rows else np.zeros((0, 4), np.int32), \
+            counts
+
+    def enable_covs(self, windows, front: bool, gate_min: np.ndarray,
+                    chain_min: np.ndarray, W: int, top_t: int = 8,
+                    max_anchors: int = 128, batch: int = 16384):
+        """DetermineAdapters device path: per-adapter max covered bases
+        over all windows (one [A] fetch per batch)."""
+        table = self._front_km if front else self._back_km
+        a_seeds, a_pos, a_len = self.front if front else self.back
+        gm, cm, A = self._pad_mins(table, gate_min, chain_min)
+        if A == 0:
+            return np.zeros(0, np.int32)
+        futs = []
+        for lo in range(0, len(windows), batch):
+            sub = windows[lo : lo + batch]
+            km_dev, lens_dev, _ = self.upload(sub, W)
+            futs.append(_fused_enable(
+                km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
+                self.kmer2seed, k=self.k, max_anchors=max_anchors,
+                top_t=top_t))
+        out = np.zeros(table.shape[1], np.int64)
+        for f in futs:
+            out = np.maximum(out, np.asarray(f))
+        return out[:A]
+
+    def window_verdict_dispatch(self, windows, gate_min: np.ndarray,
+                                chain_min: np.ndarray, mid_threshold: int,
+                                W: int, top_t: int = 8,
+                                max_anchors: int = 128, batch: int = 16384,
+                                pair_budget: int = 16384,
+                                det_budget: int = 4096):
+        """Upload interior windows + enqueue the on-device detection scan
+        (front adapters; the middle pass only uses those)."""
+        table = self._front_km
+        a_seeds, a_pos, a_len = self.front
+        gm, cm, A = self._pad_mins(table, gate_min, chain_min)
+        if A == 0:
+            return [(0, None, None)]
+        futures = []
+        for lo in range(0, len(windows), batch):
+            sub = windows[lo : lo + batch]
+            km_dev, lens_dev, n = self.upload(sub, W)
+            call = lambda pb, db, km=km_dev, ln=lens_dev: \
+                _fused_window_verdict(
+                    km, ln, table, gm, cm, a_seeds, a_pos, a_len,
+                    self.kmer2seed, jnp.int32(mid_threshold), k=self.k,
+                    max_anchors=max_anchors, top_t=top_t,
+                    pair_budget=pb, det_budget=db)
+            futures.append((lo, call(pair_budget, det_budget),
+                            (call, pair_budget, det_budget)))
+        return futures
+
+    def window_verdict_collect(self, futures):
+        """Fetch window detections: [(window idx, adapter idx, start,
+        identity)] rows.  Pair- or detection-budget overflows re-run the
+        affected sub-batch with the budget lifted (rare: interior windows
+        almost never contain adapters)."""
+        out = []
+        for lo, fut, meta in futures:
+            if fut is None:
+                continue
+            call, pair_budget, det_budget = meta
+            arr = np.asarray(fut)
+            n_ok, n_det = int(arr[-1, 0]), int(arr[-1, 1])
+            if pair_budget and n_ok > pair_budget:
+                arr = np.asarray(call(0, det_budget))
+                n_det = int(arr[-1, 1])
+            if n_det > arr.shape[0] - 1:
+                arr = np.asarray(call(0, 4 * det_budget))
+                n_det = int(arr[-1, 1])
+            rows = arr[:-1]
+            rows = rows[rows[:, 0] >= 0]
+            if rows.size:
+                rows = rows.copy()
+                rows[:, 0] += lo      # window idx -> global across batches
+                out.append(rows)
+        return np.concatenate(out) if out else np.zeros((0, 4), np.int32)
 
     def match(self, windows, front: bool, gate_min: np.ndarray,
               chain_min: np.ndarray, W: int, top_t: int = 8,

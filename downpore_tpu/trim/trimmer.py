@@ -135,15 +135,20 @@ class Trimmer:
         return self._engine_obj
 
     # -- edge matching --------------------------------------------------
+    def _edge_mins(self, adapter_sets, min_match: int = 3):
+        """Gate/chain thresholds: hits >= 3 OR >= ceil(aset/5)
+        (ref: trim/trim.go:366)."""
+        aset = np.array([max(1, len(st)) for st in adapter_sets])
+        gate_min = np.minimum(3, -(-aset // 5))
+        chain_min = np.full(len(adapter_sets), min_match, np.int32)
+        return gate_min, chain_min
+
     def _edge_dispatch(self, edges, adapters, adapter_sets,
                        min_match: int = 3):
         """Upload + enqueue the edge match, returning engine futures."""
         front = adapters is self.front_adapters
         eng = self._engine()
-        # gate: hits >= 3 OR hits >= ceil(aset/5)  (ref: trim/trim.go:366)
-        aset = np.array([max(1, len(st)) for st in adapter_sets])
-        gate_min = np.minimum(3, -(-aset // 5))
-        chain_min = np.full(len(adapter_sets), min_match, np.int32)
+        gate_min, chain_min = self._edge_mins(adapter_sets, min_match)
         return eng.match_dispatch(edges, front, gate_min, chain_min,
                                   self.WINDOW - self.k + 1)
 
@@ -248,20 +253,20 @@ class Trimmer:
 
     def _check_full_match(self, edges, adapters, adapter_sets, threshold,
                           enabled):
-        """Batched isNewFullMatch (ref: trim/trim.go:326-352)."""
+        """Batched isNewFullMatch (ref: trim/trim.go:326-352) — the
+        per-adapter max coverage aggregates on device; one [A] fetch."""
         front = adapters is self.front_adapters
         eng = self._engine()
         min_hits_v = np.maximum(
             np.array([len(st) // 2 for st in adapter_sets]), 1)
         gate_min = min_hits_v.copy()
         gate_min[[i for i, en in enumerate(enabled) if en]] = 1 << 20
-        rows = eng.match(edges, front, gate_min, min_hits_v,
-                         self.WINDOW - self.k + 1)
-        for row in rows:
-            for ai, summ in row:
-                cov = int(summ["ident_cov_q"])
-                if _int_div(cov * 100, adapters[ai].length) >= threshold:
-                    enabled[ai] = True
+        covs = eng.enable_covs(edges, front, gate_min, min_hits_v,
+                               self.WINDOW - self.k + 1)
+        for ai in range(len(covs)):
+            if _int_div(int(covs[ai]) * 100,
+                        adapters[ai].length) >= threshold:
+                enabled[ai] = True
 
     # -- Trim -------------------------------------------------------------
     def trim(self, seqs, batch_size: int = 2048, max_inflight: int = 2,
@@ -325,29 +330,36 @@ class Trimmer:
                             {"edges_done": True, "middle_done": True})
 
     def _dispatch_edge_batch(self, batch: List[Sequence]):
-        """Upload one edge batch and enqueue both matches (no fetch)."""
+        """Upload one edge batch and enqueue both on-device verdicts (no
+        fetch; the per-edge adapter walk happens inside the kernel)."""
         usable = [s for s in batch if len(s) >= EDGE_SIZE + 50]
         self.seen_count += len(batch)
+        eng = self._engine()
+        W = self.WINDOW - self.k + 1
         fronts = [s.subsequence(0, EDGE_SIZE) for s in usable]
         backs = [s.subsequence(len(s) - EDGE_SIZE, len(s)) for s in usable]
-        ff = self._edge_dispatch(fronts, self.front_adapters,
-                                 self.front_sets)
-        fb = self._edge_dispatch(backs, self.back_adapters, self.back_sets)
-        return usable, fronts, backs, ff, fb
+        gm_f, cm_f = self._edge_mins(self.front_sets)
+        gm_b, cm_b = self._edge_mins(self.back_sets)
+        ff = eng.edge_verdict_dispatch(fronts, True, gm_f, cm_f, W)
+        fb = eng.edge_verdict_dispatch(backs, False, gm_b, cm_b, W)
+        return usable, ff, fb
 
     def _finish_edge_batch(self, seqs, state):
-        """Fetch one dispatched edge batch and apply trims
+        """Fetch one dispatched edge batch's verdict rows and apply trims
         (ref trimWorker, trim/trim.go:451-513)."""
-        usable, fronts, backs, ff, fb = state
+        usable, ff, fb = state
         eng = self._engine()
-        fres, _ = self._match_edges(fronts, self.front_adapters,
-                                    self.front_sets, self.front_counts,
-                                    rows=eng.match_collect(ff))
-        bres, _ = self._match_edges(backs, self.back_adapters,
-                                    self.back_sets, self.back_counts,
-                                    rows=eng.match_collect(fb))
+        fv, fc = eng.edge_verdict_collect(ff, len(self.front_adapters))
+        bv, bc = eng.edge_verdict_collect(fb, len(self.back_adapters))
+        for ai, c in enumerate(fc):
+            self.front_counts[ai] += int(c)
+        for ai, c in enumerate(bc):
+            self.back_counts[ai] += int(c)
         for i, seq in enumerate(usable):
-            fr, br = fres[i], bres[i]
+            fr = _EdgeResult(int(fv[i, 2]), int(fv[i, 3]), bool(fv[i, 0]),
+                             int(fv[i, 1]))
+            br = _EdgeResult(int(bv[i, 2]), int(bv[i, 3]), bool(bv[i, 0]),
+                             int(bv[i, 1]))
             found_start, match_index = fr.found, fr.best_match
             found_end, back_match_index = br.found, br.best_match
             if self.require_pairs:
@@ -428,7 +440,9 @@ class Trimmer:
         self._apply_splits(seqs, splits)
 
     def _dispatch_windows(self, windows: List[Sequence]):
-        """Upload + enqueue one interior-window batch (no fetch)."""
+        """Upload + enqueue one interior-window batch (no fetch).  The
+        identity-threshold detection filter runs inside the kernel; only
+        compact (window, adapter, start, identity) rows come back."""
         eng = self._engine()
         # a chain of L anchors covers at most L*k bases of the adapter, so
         # reaching mid_threshold% identity needs L >= ceil(thr*len/(100*k))
@@ -439,15 +453,22 @@ class Trimmer:
             for ad in self.front_adapters])
         # interior windows rarely contain an adapter: compact the chain
         # DP to gate-passing pairs (auto-fallback on overflow)
-        return windows, eng.match_dispatch(
-            windows, True, min_matches, min_matches,
+        return windows, eng.window_verdict_dispatch(
+            windows, min_matches, min_matches, self.mid_threshold,
             self.WINDOW - self.k + 1, pair_budget=16384)
 
     def _collect_windows(self, state):
-        """Fetch one dispatched window batch and extract detections."""
+        """Fetch one dispatched window batch and map detection rows back
+        to read coordinates."""
         windows, futures = state
-        rows = self._engine().match_collect(futures)
-        return self._window_detections(windows, rows)
+        rows = self._engine().window_verdict_collect(futures)
+        detections = []
+        for ei, ai, start, identity in rows:
+            w = windows[int(ei)]
+            orig_len = len(w) + w.offset + w.inset
+            detections.append((w.id, int(ai), w.offset + int(start),
+                               int(identity), orig_len))
+        return detections
 
     def _match_windows(self, windows: List[Sequence]):
         """Gate + chain a batch of interior windows against all front
