@@ -105,6 +105,88 @@ def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
     return jnp.concatenate([rows, tail], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
+                                              "chunk", "chain_len"))
+def _fused_overlap(q_seeds, q_pos, q_rb, q_db, min_count, base_min,
+                   membership, t_seeds, t_pos,
+                   k: int, pair_budget: int, variant: str = "aligner",
+                   chunk: int = 512, chain_len: int = 128):
+    """Retrieval + gate + chain DP + on-device best-chain extraction.
+
+    The overlapper needs the full anchor chain of the best alignment per
+    passing (query, chunk) pair (ref matchWorker,
+    overlap/overlap.go:346-387; PairwiseAlignments
+    seeds/alignment.go:426).  The backpointer walk runs on device as a
+    ``chain_len``-step scan, so the fetch is one
+    ``[budget, 4 + 2*chain_len] int16`` array instead of the full
+    [pairs, anchors] f/bp/qi/tj grids (which at production sizes cost
+    tens of MB per batch).
+
+    Row layout: (query idx, chunk idx, best chain length, distinct shared
+    seeds, chain query-seed indices end->start, chain target-seed
+    indices end->start); -1 pads.  Returns (rows, passing-pair count).
+    """
+    M = q_seeds.shape[0]
+    C = membership.shape[1]
+
+    def count_rows(buckets):
+        live = buckets >= 0
+        rows = jnp.take(membership, jnp.clip(buckets, 0), axis=0)
+        rows = jnp.where(live[:, :, None], rows, 0)
+        return jnp.sum(rows.astype(jnp.int32), axis=1)
+
+    counts = count_rows(q_rb)
+    dcounts = count_rows(q_db)
+    ok = (counts >= min_count[:, None]) & (dcounts >= base_min[:, None]) \
+        & (min_count[:, None] > 0)
+    ok_flat = ok.reshape(-1)
+    n_ok = jnp.sum(ok_flat.astype(jnp.int32))
+    sel = jnp.nonzero(ok_flat, size=pair_budget, fill_value=M * C)[0]
+    live = sel < M * C
+    cl = jnp.clip(sel, 0, M * C - 1)
+    mi = jnp.where(live, cl // C, 0)
+    ci = jnp.where(live, cl % C, 0)
+
+    def build(args):
+        mi_c, ci_c = args
+        return make_anchors_topk(q_seeds[mi_c], q_pos[mi_c],
+                                 t_seeds[ci_c].astype(jnp.int32),
+                                 t_pos[ci_c].astype(jnp.int32), per_seed=2)
+
+    B = pair_budget
+    CH = min(chunk, B)
+    NCH = (B + CH - 1) // CH
+    pad = NCH * CH - B
+    mi_p = jnp.concatenate([mi, jnp.zeros(pad, mi.dtype)]) if pad else mi
+    ci_p = jnp.concatenate([ci, jnp.zeros(pad, ci.dtype)]) if pad else ci
+    anchors = jax.lax.map(build, (mi_p.reshape(NCH, CH),
+                                  ci_p.reshape(NCH, CH)))
+    anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
+               for key, v in anchors.items()}
+    out = dp_from_anchors(anchors, k, variant)
+    f, bp = out["f"], out["bp"]
+    qi_a, tj_a = out["qi"], out["tj"]
+    rows_idx = jnp.arange(B)
+    best_a = jnp.argmax(f, axis=1)
+    best_len = jnp.where(live, f[rows_idx, best_a], 0)
+
+    def walk(a, _):
+        on = a >= 0
+        acl = jnp.clip(a, 0)
+        q = jnp.where(on, qi_a[rows_idx, acl], -1)
+        t = jnp.where(on, tj_a[rows_idx, acl], -1)
+        nxt = jnp.where(on, bp[rows_idx, acl], -1)
+        return nxt, (q, t)
+
+    start = jnp.where(best_len > 0, best_a.astype(jnp.int32), -1)
+    _, (cq, ct) = jax.lax.scan(walk, start, None, length=chain_len)
+    cq = cq.T.astype(jnp.int16)      # [B, L], end -> start
+    ct = ct.T.astype(jnp.int16)
+    head = jnp.stack([jnp.where(live, mi, -1), ci, best_len,
+                      dcounts[mi, ci]], axis=1)
+    return head, jnp.concatenate([cq, ct], axis=1), n_ok
+
+
 class MapEngine:
     """Resident device index + one-dispatch query pipeline for the mapper
     (and, with ``variant='aligner'`` semantics handled by callers, any
@@ -231,6 +313,67 @@ class MapEngine:
                               top_k=top_k)
 
         return (M, call(pair_budget), pair_budget, call)
+
+    def query_chains(self, seed_queries: List, base_min: np.ndarray,
+                     pair_budget: int = 8192, chain_len: int = 128,
+                     variant: str = "aligner", min_sets: int = 5):
+        """Fused retrieval + gate + chain + best-chain extraction.
+
+        Returns per query a list of (chunk idx, distinct count, best
+        chain length, query-anchor indices, target-anchor indices) in
+        chunk order — the overlapper's per-candidate best alignments.
+        Target indices address the chunk's own seed list (truncated at
+        ``self.nt`` seeds)."""
+        M = len(seed_queries)
+        if M == 0 or self.C == 0:
+            return []
+        q_seeds, q_pos, q_rb, q_db, num_sets, _ = \
+            self.pack_queries(seed_queries)
+        min_count = (self.hit_fraction * num_sets + 0.5).astype(np.int64)
+        min_count[num_sets < min_sets] = 0
+        MB = _bucket(M)
+        if self.mesh is not None:
+            D = self.mesh.shape["data"]
+            MB = ((MB + D - 1) // D) * D
+
+        def padm(a, fill):
+            if a.shape[0] == MB:
+                return a
+            shape = (MB - a.shape[0],) + a.shape[1:]
+            return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+        args = [padm(q_seeds, -1), padm(q_pos, 0), padm(q_rb, -1),
+                padm(q_db, -1), padm(min_count.astype(np.int32), 0),
+                padm(np.asarray(base_min, np.int32), 1 << 20)]
+        args = [self._put_data(a) for a in args]
+
+        def call(budget):
+            return _fused_overlap(*args, self.membership, self.t_seeds,
+                                  self.t_pos, k=self.k, pair_budget=budget,
+                                  variant=variant, chain_len=chain_len)
+
+        head, chains, n_ok = call(pair_budget)
+        n = int(n_ok)
+        while n > pair_budget:
+            pair_budget *= 4
+            head, chains, n_ok = call(pair_budget)
+            n = int(n_ok)
+        head = np.asarray(head)
+        chains = np.asarray(chains)
+        out = [[] for _ in range(M)]
+        L = chain_len
+        for b in range(head.shape[0]):
+            mi = int(head[b, 0])
+            if mi < 0 or mi >= M:
+                continue
+            blen = int(head[b, 2])
+            if blen <= 0:
+                continue
+            ma = chains[b, :blen][::-1].astype(np.int64)
+            mb = chains[b, L : L + blen][::-1].astype(np.int64)
+            out[mi].append((int(head[b, 1]), int(head[b, 3]), blen,
+                            ma, mb))
+        return out
 
     def collect(self, futs, top_k: int = 4):
         M, fut, pair_budget, call = futs

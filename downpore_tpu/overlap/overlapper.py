@@ -20,8 +20,6 @@ import numpy as np
 from ..core.sequence import Sequence
 from ..seeds import SeedIndex, SeedSequence
 from ..seeds.seed_sequence import SeedMatch
-from ..ops import match as match_ops
-from ..ops.chain import run_chain_batch, extract_best_chain
 
 QUERY_EDGES = 1
 QUERY_CENTRE = 2
@@ -204,91 +202,34 @@ class Overlapper:
 
     # -- overlap search -------------------------------------------------
     def find_overlaps(self, queries: List[SeedQuery]) -> List[SeedMatch]:
-        """Batched matchWorker (ref: overlap/overlap.go:346-387): one
-        retrieval matmul for all queries, popcount gate, chain DP, best
-        match per (query, candidate)."""
+        """Batched matchWorker (ref: overlap/overlap.go:346-387): ONE
+        fused dispatch per query batch — retrieval gathers over the
+        resident membership matrix, the distinct-seed popcount gate, the
+        seedAligner chain DP and the best-chain backpointer walk all run
+        on device (``ops.map_engine._fused_overlap``); the host applies
+        only the sequential adaptive min-match rule to the compact
+        result rows."""
         if not queries or self.index.num_sequences == 0:
             return []
-        k = self.index.k
-        S = self.index.num_seeds
-        H = match_ops.choose_hash_size(S)
-        membership = match_ops.build_membership(
-            [c.seeds for c in self.index.sequences], S, H)
-        if self.mesh is not None:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec
-            membership = jax.device_put(
-                membership, NamedSharding(self.mesh, PartitionSpec()))
+        from ..ops.map_engine import MapEngine
         if self.index._seed_counts is None:
             self.index.index_sequences()
-        usable = self.index._seed_counts < self.index.num_sequences
-        V, VD, num_sets = match_ops.build_query_rows(
-            [q.query for q in queries], S, usable, H)
-        counts = _bucketed_counts(V, membership, self.mesh)
-        dcounts = _bucketed_counts(VD, membership, self.mesh)
-        cand_lists = match_ops.candidates_from_counts(
-            counts, num_sets, self.hit_fraction)
-
-        chunk_pos = {}
-        qs_l, qp_l, ts_l, tp_l, metas = [], [], [], [], []
-        for qi, q in enumerate(queries):
-            min_matches = int(self.hit_fraction * q.query.num_seeds + 0.5)
-            qpos = q.query.seed_positions(k).astype(np.int32)
-            qmask = np.zeros(S, dtype=bool)
-            qmask[q.query.seeds] = True
-            for ci in cand_lists[qi]:
-                ci = int(ci)
-                if dcounts[qi, ci] < min_matches:
-                    continue
-                chunk = self.index.sequences[ci]
-                if ci not in chunk_pos:
-                    chunk_pos[ci] = \
-                        chunk.seed_positions(k).astype(np.int32)
-                tkeep = qmask[chunk.seeds]
-                qs_l.append(q.query.seeds)
-                qp_l.append(qpos)
-                ts_l.append(chunk.seeds[tkeep])
-                tp_l.append(chunk_pos[ci][np.asarray(tkeep)])
-                metas.append((qi, ci, np.flatnonzero(tkeep)))
-        out = run_chain_batch(qs_l, qp_l, ts_l, tp_l, k,
-                              nq=128, nt=128, max_anchors=192,
-                              variant="aligner",
-                              keys=("f", "bp", "qi", "tj"),
-                              mesh=self.mesh)
+        eng = MapEngine(self.index, self.index.k, nq=128, nt=256,
+                        mesh=self.mesh, hit_fraction=self.hit_fraction)
+        base_min = np.array(
+            [int(self.hit_fraction * q.query.num_seeds + 0.5)
+             for q in queries], np.int32)
+        per_meta = eng.query_chains([q.query for q in queries], base_min)
         results: List[SeedMatch] = []
-        if out is None:
-            return results
-        min_m = {qi: int(self.hit_fraction * q.query.num_seeds + 0.5)
-                 for qi, q in enumerate(queries)}
-        for pi, (qi, ci, tmap) in enumerate(metas):
-            q = queries[qi]
-            best_len = int(out["f"][pi].max(initial=0))
-            if best_len < max(1, min_m[qi]):
-                continue
-            ma, mb = extract_best_chain(out, pi)
-            if not ma:
-                continue
-            # map target indices back through the reduction
-            mb = [int(tmap[j]) for j in mb]
-            m = SeedMatch(ma, mb, q.query, self.index.sequences[ci],
-                          query_id=q.id, rc_query=q.rc)
-            results.append(m)
-            if best_len * 2 > min_m[qi] * 3:
-                min_m[qi] = (best_len * 2) // 3
+        for qi, q in enumerate(queries):
+            min_m = int(self.hit_fraction * q.query.num_seeds + 0.5)
+            for ci, dcount, best_len, ma, mb in per_meta[qi]:
+                if best_len < max(1, min_m):
+                    continue
+                m = SeedMatch([int(a) for a in ma], [int(b) for b in mb],
+                              q.query, self.index.sequences[ci],
+                              query_id=q.id, rc_query=q.rc)
+                results.append(m)
+                if best_len * 2 > min_m * 3:
+                    min_m = (best_len * 2) // 3
         return results
-
-
-def _bucketed_counts(V: np.ndarray, M, mesh=None) -> np.ndarray:
-    from ..ops.chain import _bucket
-    n = V.shape[0]
-    nb = _bucket(max(1, n))
-    if mesh is not None:
-        D = mesh.shape["data"]
-        nb = ((nb + D - 1) // D) * D
-    if nb != n:
-        V = np.concatenate([V, np.zeros((nb - n, V.shape[1]), V.dtype)])
-    if mesh is not None:
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec
-        V = jax.device_put(V, NamedSharding(mesh, PartitionSpec("data")))
-    return np.asarray(match_ops.hit_counts(V, M))[:n]
