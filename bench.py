@@ -1,13 +1,30 @@
-"""Benchmark: adapter-trimming throughput (reads/s) on synthetic nanopore
-reads, end to end (edge matching + middle split + trim bookkeeping).
+"""Benchmark suite: end-to-end throughput of the four pipelines on the
+attached device (TPU via the default env; CPU with JAX_PLATFORMS=cpu).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric — map, overlap, consensus, then the
+headline trim metric LAST:
 
-Baseline: the reference Go toolkit's throughput anchor on its 16-thread
-desktop — the README's worst-case demultiplex note of ~1 minute per GB
-(ref README.md:126), i.e. ~16.7 MB/s of fastq.  For the synthetic read
-length here that converts to reads/s as baseline_reads_s below;
-vs_baseline is ours / reference.
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baselines (ours / reference):
+* trim   — the reference's worst-case demultiplex anchor of ~1 GB/min of
+           fastq on its 16-thread desktop (ref README.md:126), converted
+           to reads/s at this read length.
+* map    — the reference maps the 1.5 GB E. coli fasta in 6.7 s on the
+           same desktop (ref README.md:240) => ~2.24e8 bases/s; ours is
+           mapped query bases per second.
+* overlap— the reference publishes no absolute overlap time (its table is
+           WIP, README.md:277-300); the same 1 GB/min anchor is used as a
+           CONSERVATIVE proxy (all-vs-all overlap is strictly more work
+           per byte than trimming, so vs_baseline is understated).
+* consensus — no published reference number exists for the DTW engine;
+           baseline = this machine's faithful host-oracle engine (a pure
+           Python port of the Go algorithm) x50, a generous allowance for
+           Go+SIMD over Python.  Methodology stated here so the number is
+           interpretable.
+
+A stage-breakdown stderr line reports the trim engine's device-busy
+fraction (upload / compute / fetch per steady-state batch).
 """
 import json
 import os
@@ -22,6 +39,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_downpore_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("JAX_PLATFORMS"):  # sitecustomize config beats the env
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np
 
@@ -30,34 +49,49 @@ READ_LEN = 3000
 BATCH = 2048
 SEED = 1234
 
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(value, 1),
+                      "unit": unit, "vs_baseline": round(vs, 3)}))
+    sys.stdout.flush()
+
+
+def note(msg):
+    print("# " + msg, file=sys.stderr)
+    sys.stderr.flush()
+
+
+def rand_seq(rng, n):
+    return BASES[rng.integers(0, 4, n)].tobytes().decode()
+
+
+def mutate(rng, s, rate=0.08):
+    arr = np.frombuffer(s.encode(), dtype=np.uint8).copy()
+    m = rng.random(len(arr)) < rate
+    arr[m] = BASES[rng.integers(0, 4, int(m.sum()))]
+    return arr.tobytes().decode()
+
 
 def make_reads(path, n_reads, rng):
     from downpore_tpu.data import FRONT_ADAPTERS, BACK_ADAPTERS
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     front = FRONT_ADAPTERS[0][1]
     back = BACK_ADAPTERS[0][1]
-
-    def mutate(s, rate=0.08):
-        arr = np.frombuffer(s.encode(), dtype=np.uint8).copy()
-        m = rng.random(len(arr)) < rate
-        arr[m] = bases[rng.integers(0, 4, int(m.sum()))]
-        return arr.tobytes().decode()
-
     with open(path, "w") as f:
         for i in range(n_reads):
-            core = bases[rng.integers(0, 4, READ_LEN)].tobytes().decode()
-            read = mutate(front) + core + mutate(back)
+            core = rand_seq(rng, READ_LEN)
+            read = mutate(rng, front) + core + mutate(rng, back)
             f.write(f"@read{i}\n{read}\n+\n{'I' * len(read)}\n")
     return os.path.getsize(path)
 
 
-def main():
-    t_setup = time.time()
+# ---------------------------------------------------------------------
+def bench_trim():
     from downpore_tpu.core import Sequence
     from downpore_tpu.io import SequenceSet
     from downpore_tpu.trim import Trimmer
     from downpore_tpu.data import FRONT_ADAPTERS, BACK_ADAPTERS
-    import jax
 
     rng = np.random.default_rng(SEED)
     path = "/tmp/bench_reads.fastq"
@@ -85,7 +119,6 @@ def main():
     # link to the TPU has multi-second contention spikes; best-of-2
     # reports steady-state capability instead of link weather.
     elapsed = None
-    t0 = time.time()
     for _ in range(2):
         seq_set = SequenceSet(path, min_length=50)
         t1 = time.time()
@@ -100,15 +133,205 @@ def main():
     ref_bytes_s = 1e9 / 60.0
     bytes_per_read = nbytes / N_READS
     baseline_reads_s = ref_bytes_s / bytes_per_read
-    print(json.dumps({
-        "metric": "trim_reads_per_s",
-        "value": round(reads_s, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(reads_s / baseline_reads_s, 3),
-    }))
-    print(f"# backend={jax.default_backend()} elapsed={elapsed:.1f}s "
-          f"reads={N_READS} mean_read={READ_LEN + 50}b "
-          f"setup={t_setup and (t0 - t_setup):.1f}s", file=sys.stderr)
+    note(f"trim elapsed={elapsed:.1f}s reads={N_READS} "
+         f"mean_read={READ_LEN + 50}b")
+    _trim_stage_breakdown(trimmer)
+    emit("trim_reads_per_s", reads_s, "reads/s", reads_s / baseline_reads_s)
+
+
+def _trim_stage_breakdown(trimmer):
+    """Upload / compute / fetch split for one steady-state window batch."""
+    from downpore_tpu.core import Sequence
+    rng = np.random.default_rng(SEED + 2)
+    eng = trimmer._engine()
+    W = trimmer.WINDOW - trimmer.k + 1
+    wins = [Sequence.from_string(rand_seq(rng, 256), id=i)
+            for i in range(16384)]
+    min_m = np.full(len(trimmer.front_adapters), 6, np.int64)
+    # warm
+    eng.window_verdict_collect(eng.window_verdict_dispatch(
+        wins, min_m, min_m, 85, W))
+    t0 = time.time()
+    km_dev, lens_dev, n = eng.upload(wins, W)
+    jax.block_until_ready((km_dev, lens_dev))
+    t1 = time.time()
+    futs = eng.window_verdict_dispatch(wins, min_m, min_m, 85, W)
+    for _, fut, _ in futs:
+        if fut is not None:
+            jax.block_until_ready(fut)
+    t2 = time.time()
+    eng.window_verdict_collect(futs)
+    t3 = time.time()
+    up, comp, fetch = t1 - t0, t2 - t1, t3 - t2
+    total = max(1e-9, t3 - t0)
+    note(f"trim stage breakdown (16k windows): upload={up:.2f}s "
+         f"compute={comp:.2f}s fetch={fetch:.2f}s "
+         f"fetch_frac={fetch / total:.2f} busy_frac={comp / total:.2f}")
+
+
+# ---------------------------------------------------------------------
+def bench_map():
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    rng = np.random.default_rng(SEED + 10)
+    GEN = 1_000_000
+    genome = rand_seq(rng, GEN)
+    ref = Sequence.from_string(genome, id=0, name="bench_ref")
+    k = 11
+    counts = kmer_occurrences([ref], k)
+    values = score_seed_values(counts, k)
+    t0 = time.time()
+    mapper = Mapper(ref, False, k, values, seed_rate=40, edge_size=1000,
+                    chunk_size=10000)
+    t_index = time.time() - t0
+
+    n_reads = 4096
+    reads = []
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    for i in range(n_reads):
+        p = int(rng.integers(0, GEN - 10_000))
+        L = int(rng.integers(6000, 10_000))  # ONT-scale read lengths
+        s = mutate(rng, genome[p : p + L], 0.08)
+        if i % 2:
+            s = s.encode().translate(comp)[::-1].decode()
+        reads.append(Sequence.from_string(s, id=i, name=f"r{i}"))
+    total_bases = sum(len(r) for r in reads)
+
+    mapper.map_batch(reads[:64])     # warmup compiles
+    elapsed = None
+    for _ in range(2):
+        t1 = time.time()
+        results = mapper.map_batch(reads)
+        dt = time.time() - t1
+        elapsed = dt if elapsed is None else min(elapsed, dt)
+    n_mapped = sum(1 for r in results if r)
+    bases_s = total_bases / elapsed
+    # reference: 1.5 GB E. coli fasta in 6.7 s (README.md:240)
+    ref_bases_s = 1.5e9 / 6.7
+    note(f"map elapsed={elapsed:.1f}s reads={n_reads} "
+         f"mapped={n_mapped} index_build={t_index:.1f}s "
+         f"reads_per_s={n_reads / elapsed:.0f}")
+    emit("map_bases_per_s", bases_s, "bases/s", bases_s / ref_bases_s)
+
+
+# ---------------------------------------------------------------------
+def bench_overlap():
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.seeds import SeedIndex
+    from downpore_tpu.overlap import Overlapper, QUERY_EDGES
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    rng = np.random.default_rng(SEED + 20)
+    genome = rand_seq(rng, 60_000)
+    n_reads = 512
+    reads = []
+    for i in range(n_reads):
+        p = int(rng.integers(0, 60_000 - 3200))
+        L = int(rng.integers(2500, 3200))
+        reads.append(Sequence.from_string(
+            mutate(rng, genome[p : p + L], 0.05), id=i, name=f"ov{i}"))
+    total_bases = sum(len(r) for r in reads)
+    k = 10
+    counts = kmer_occurrences(reads, k)
+    values = score_seed_values(counts, k)
+
+    def run_round():
+        index = SeedIndex(k)
+        ov = Overlapper(index, 10000, 1000, 15, 0.25)
+        queries = ov.prepare_queries(15, 10000, values, iter(reads),
+                                     QUERY_EDGES)
+        ov.add_sequences(iter(reads))
+        return ov.find_overlaps(queries)
+
+    run_round()                      # warmup compiles
+    elapsed = None
+    n_matches = 0
+    for _ in range(2):
+        t1 = time.time()
+        matches = run_round()
+        dt = time.time() - t1
+        n_matches = len(matches)
+        elapsed = dt if elapsed is None else min(elapsed, dt)
+    bases_s = total_bases / elapsed
+    # conservative proxy anchor: the reference's 1 GB/min trim note (it
+    # publishes no absolute all-vs-all time; see module docstring)
+    ref_bases_s = 1e9 / 60.0
+    note(f"overlap elapsed={elapsed:.1f}s reads={n_reads} "
+         f"matches={n_matches}")
+    emit("overlap_bases_per_s", bases_s, "bases/s", bases_s / ref_bases_s)
+
+
+# ---------------------------------------------------------------------
+def bench_consensus():
+    from downpore_tpu.ops.dtw import consensus_kmers_bulk
+    from downpore_tpu.align import SimpleMeasure
+    from downpore_tpu.align.dtw import DTWAligner
+
+    rng = np.random.default_rng(SEED + 30)
+    k = 5
+    n_jobs, n_members, core_len = 64, 6, 500
+
+    def job_kmers():
+        core = BASES[rng.integers(0, 4, core_len + k - 1)]
+        members = []
+        for _ in range(n_members):
+            arr = core.copy()
+            m = rng.random(len(arr)) < 0.08
+            arr[m] = BASES[rng.integers(0, 4, int(m.sum()))]
+            codes = np.frombuffer(arr.tobytes().translate(
+                bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))), np.uint8)
+            km = np.zeros(len(codes) - k + 1, np.int64)
+            for j in range(k):
+                km = (km << 2) | codes[j : j + len(km)]
+            members.append(km.astype(np.int32))
+        return members
+
+    jobs = [job_kmers() for _ in range(n_jobs)]
+    table = SimpleMeasure(k).pair_table()
+    consensus_kmers_bulk(jobs[:4], table, k)     # warmup compiles
+    elapsed = None
+    for _ in range(2):
+        t1 = time.time()
+        outs = consensus_kmers_bulk(jobs, table, k)
+        dt = time.time() - t1
+        elapsed = dt if elapsed is None else min(elapsed, dt)
+    total_bases = sum(len(o) + k - 1 for o in outs if len(o))
+    bases_s = total_bases / elapsed
+
+    # host-oracle comparison on a small slice (pure-Python port of the
+    # reference engine); x50 converts to an estimated Go+SIMD speed
+    t1 = time.time()
+    for job in jobs[:2]:
+        m = SimpleMeasure(k)
+        m.set_sequences(job, [False] * len(job))
+        DTWAligner(16, 5, m, False, 200, k).global_consensus()
+    host_dt = time.time() - t1
+    host_bases_s = 2 * (core_len + k - 1) / host_dt
+    baseline = host_bases_s * 50
+    note(f"consensus elapsed={elapsed:.2f}s jobs={n_jobs} "
+         f"members={n_members} host_oracle={host_bases_s:.0f} bases/s "
+         f"(baseline = host x50)")
+    emit("consensus_bases_per_s", bases_s, "bases/s", bases_s / baseline)
+
+
+# ---------------------------------------------------------------------
+def main():
+    t_setup = time.time()
+    note(f"backend={jax.default_backend()}")
+    sections = [("map", bench_map), ("overlap", bench_overlap),
+                ("consensus", bench_consensus), ("trim", bench_trim)]
+    for name, fn in sections:
+        t0 = time.time()
+        try:
+            fn()
+        except Exception as e:  # one failing section must not kill the rest
+            note(f"{name} FAILED: {type(e).__name__}: {e}")
+        note(f"{name} section total {time.time() - t0:.1f}s")
+    note(f"suite total {time.time() - t_setup:.1f}s")
 
 
 if __name__ == "__main__":

@@ -269,7 +269,7 @@ class MapEngine:
         return q_seeds, q_pos, q_rb, q_db, num_sets, q_len
 
     def query(self, seed_queries: List, base_min: np.ndarray,
-              pair_budget: int = 4096, top_k: int = 4,
+              pair_budget: int = 0, top_k: int = 4,
               min_sets: int = 5):
         """Run the fused pipeline; returns per query a list of
         (chunk idx, distinct count, summary dict) in chunk order."""
@@ -278,7 +278,7 @@ class MapEngine:
         return self.collect(futs)
 
     def dispatch(self, seed_queries: List, base_min: np.ndarray,
-                 pair_budget: int = 4096, top_k: int = 4,
+                 pair_budget: int = 0, top_k: int = 4,
                  min_sets: int = 5):
         M = len(seed_queries)
         if M == 0 or self.C == 0:
@@ -306,6 +306,12 @@ class MapEngine:
                 padm(np.asarray(base_min, np.int32), 1 << 20),
                 padm(q_len, 0)]
         args = [self._put_data(a) for a in args]
+        if not pair_budget:
+            # a deterministic function of the BUCKETED batch size, so the
+            # number of compiled (batch, budget) combinations stays equal
+            # to the number of batch buckets (~2 candidates/query is
+            # generous for mapping; collect() escalates on overflow)
+            pair_budget = max(4096, 2 * MB)
 
         def call(budget):
             return _fused_map(*args, self.membership, self.t_seeds,
@@ -315,7 +321,7 @@ class MapEngine:
         return (M, call(pair_budget), pair_budget, call)
 
     def query_chains(self, seed_queries: List, base_min: np.ndarray,
-                     pair_budget: int = 8192, chain_len: int = 128,
+                     pair_budget: int = 0, chain_len: int = 128,
                      variant: str = "aligner", min_sets: int = 5):
         """Fused retrieval + gate + chain + best-chain extraction.
 
@@ -346,6 +352,9 @@ class MapEngine:
                 padm(q_db, -1), padm(min_count.astype(np.int32), 0),
                 padm(np.asarray(base_min, np.int32), 1 << 20)]
         args = [self._put_data(a) for a in args]
+        if not pair_budget:
+            # all-vs-all retrieves more candidates per query than mapping
+            pair_budget = max(8192, 4 * MB)
 
         def call(budget):
             return _fused_overlap(*args, self.membership, self.t_seeds,

@@ -1,7 +1,8 @@
 """Device-resident window matching engine for the trimmer.
 
-The host uploads each batch of sequence windows ONCE as raw k-mer arrays
-``[n, W] int16`` (a few MB); everything else stays on device:
+The host uploads each batch of sequence windows ONCE as 2-bit packed
+base codes (4 bases/byte; k-mers are computed on device); everything
+else stays on device:
 
 * gate: per-(window, adapter) shared-seed counts via a gather over a
   device-resident kmer->adapter membership table,
@@ -30,6 +31,24 @@ import numpy as np
 from .chain import chain_batch_summary, _bucket, make_anchors_topk
 
 
+def _unpack_kmers(packed, k: int, W: int):
+    """2-bit packed window codes -> rolling k-mers, on device.
+
+    ``packed`` is ``[n, (W + k - 1) / 4] uint8`` (4 bases/byte, first base
+    in the high bits — the ship-side twin of the reference's packBytes,
+    ref: sequence/asm_amd64.s:33).  Unpacking on device cuts the
+    host->device transfer 8x vs int16 k-mer arrays, which dominated batch
+    wall-clock over a slow host link."""
+    n = packed.shape[0]
+    shifts = jnp.array([6, 4, 2, 0], jnp.uint8)
+    codes = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    codes = codes.reshape(n, packed.shape[1] * 4).astype(jnp.int32)
+    acc = jnp.zeros((n, W), jnp.int32)
+    for j in range(k):
+        acc = acc | (codes[:, j : j + W] << (2 * (k - 1 - j)))
+    return acc
+
+
 @jax.jit
 def _gate_counts(kmers, lens, km_table):
     """``[n, W]`` k-mers (+ per-row lengths) -> ``[n, A]`` hit counts."""
@@ -41,13 +60,15 @@ def _gate_counts(kmers, lens, km_table):
     return jnp.sum(rows.astype(jnp.int32), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "variant",
-                                              "top_k"))
-def _chain_from_windows(a_seeds, a_pos, a_len, kmer2seed, kmers_dev,
-                        lens_dev, ei, ai, mm, k: int, max_anchors: int,
+@functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
+                                              "variant", "top_k"))
+def _chain_from_windows(a_seeds, a_pos, a_len, kmer2seed, packed_dev,
+                        lens_dev, ei, ai, mm, k: int, W: int,
+                        max_anchors: int,
                         variant: str = "extend", top_k: int = 4):
     """Chain DP whose target seed lists are gathered on device from the
     resident window k-mer array."""
+    kmers_dev = _unpack_kmers(packed_dev, k, W)
     qs = a_seeds[ai].astype(jnp.int32)
     qp = a_pos[ai].astype(jnp.int32)
     alen = a_len[ai]
@@ -111,11 +132,12 @@ def _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed, ei, ai,
             for key, v in anchors.items()}
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t",
-                                              "top_k", "pair_budget"))
-def _fused_match(kmers, lens, km_table, gate_min, chain_min,
+@functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
+                                              "top_t", "top_k",
+                                              "pair_budget"))
+def _fused_match(packed, lens, km_table, gate_min, chain_min,
                  a_seeds, a_pos, a_len, kmer2seed,
-                 k: int, max_anchors: int, top_t: int = 4,
+                 k: int, W: int, max_anchors: int, top_t: int = 4,
                  top_k: int = 4, pair_budget: int = 0):
     """Gate + adapter selection + chain + summary in ONE device call.
 
@@ -135,6 +157,7 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
     without a budget if it exceeds pair_budget.
     """
     from .chain import make_anchors_topk, dp_from_anchors, summarize_dp
+    kmers = _unpack_kmers(packed, k, W)
     counts = _gate_counts(kmers, lens, km_table)        # [n, A]
     cvals, cai = jax.lax.top_k(counts, top_t)           # [n, T]
     ok = cvals >= gate_min[cai]
@@ -208,10 +231,11 @@ def _fused_match(kmers, lens, km_table, gate_min, chain_min,
     return out.reshape(n, top_t, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t"))
-def _fused_edge_verdict(kmers, lens, km_table, gate_min, chain_min,
+@functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
+                                              "top_t"))
+def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
                         a_seeds, a_pos, a_len, kmer2seed, is_barcode,
-                        k: int, max_anchors: int, top_t: int = 8):
+                        k: int, W: int, max_anchors: int, top_t: int = 8):
     """Edge pass fully on device: gate + chain + the per-edge adapter walk
     of the reference's findMatches (ref: trim/trim.go:354-428).
 
@@ -221,6 +245,7 @@ def _fused_edge_verdict(kmers, lens, km_table, gate_min, chain_min,
     per-(window, adapter) summary grids, which dominated wall-clock when
     the host link is slow."""
     from .chain import dp_from_anchors, summarize_scalars
+    kmers = _unpack_kmers(packed, k, W)
     n, top_t_n = kmers.shape[0], top_t
     ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
                                   chain_min, top_t)
@@ -286,14 +311,16 @@ def _fused_edge_verdict(kmers, lens, km_table, gate_min, chain_min,
     return verdict, counts_a
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t"))
-def _fused_enable(kmers, lens, km_table, gate_min, chain_min,
+@functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
+                                              "top_t"))
+def _fused_enable(packed, lens, km_table, gate_min, chain_min,
                   a_seeds, a_pos, a_len, kmer2seed,
-                  k: int, max_anchors: int, top_t: int = 8):
+                  k: int, W: int, max_anchors: int, top_t: int = 8):
     """DetermineAdapters on device: per-adapter max covered query bases
     over the whole batch (ref isNewFullMatch, trim/trim.go:326-352).
     Fetches one [A] vector per batch."""
     from .chain import dp_from_anchors, summarize_scalars
+    kmers = _unpack_kmers(packed, k, W)
     ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
                                   chain_min, top_t)
     CHUNK = 4096
@@ -306,12 +333,12 @@ def _fused_enable(kmers, lens, km_table, gate_min, chain_min,
     return jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].max(cov)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_anchors", "top_t",
-                                              "top_k", "pair_budget",
-                                              "det_budget"))
-def _fused_window_verdict(kmers, lens, km_table, gate_min, chain_min,
+@functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
+                                              "top_t", "top_k",
+                                              "pair_budget", "det_budget"))
+def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
                           a_seeds, a_pos, a_len, kmer2seed, mid_threshold,
-                          k: int, max_anchors: int, top_t: int = 8,
+                          k: int, W: int, max_anchors: int, top_t: int = 8,
                           top_k: int = 4, pair_budget: int = 16384,
                           det_budget: int = 4096):
     """Middle pass fully on device: gate + pair compaction + chain + the
@@ -325,6 +352,7 @@ def _fused_window_verdict(kmers, lens, km_table, gate_min, chain_min,
     detect pair- or detection-budget overflow (both rare: interior
     windows almost never contain adapters)."""
     from .chain import dp_from_anchors, summarize_scalars
+    kmers = _unpack_kmers(packed, k, W)
     n = kmers.shape[0]
     ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
                                   chain_min, top_t)
@@ -445,16 +473,19 @@ class WindowChainEngine:
             buf = self._buf_cache = {}
         if key not in buf:
             k = self.k
-            buf[key] = (np.zeros((nb, W + k - 1), dtype=np.uint8),
+            CL = ((W + k - 1 + 3) // 4) * 4
+            buf[key] = (np.zeros((nb, CL), dtype=np.uint8),
                         np.zeros(nb, dtype=np.int32),
-                        np.zeros((nb, W), dtype=np.int32),
-                        np.zeros((nb, W), dtype=np.int32),
-                        np.zeros((nb, W), dtype=np.int16),
-                        np.zeros((nb, W + k - 1), dtype=np.int32))
+                        np.zeros((nb, CL // 4), dtype=np.uint8))
         return buf[key]
 
     def upload(self, windows, W: int):
-        """Window batch -> resident device arrays (kmers int16, lens)."""
+        """Window batch -> resident device arrays.
+
+        Ships 2-bit packed base codes (4 bases/byte — an 8x smaller
+        transfer than int16 k-mer arrays, which dominated batch
+        wall-clock over a slow host link); the kernels unpack and compute
+        rolling k-mers on device (``_unpack_kmers``)."""
         n = len(windows)
         nb = _bucket(max(1, n))
         if self.mesh is not None:
@@ -463,28 +494,25 @@ class WindowChainEngine:
             D = self.mesh.shape["data"]
             nb = ((nb + D - 1) // D) * D
         k = self.k
-        codes, lens, acc, tmp, km16, codes32 = self._buffers(nb, W)
+        codes, lens, packed = self._buffers(nb, W)
         codes[:] = 0
         lens[:] = 0
         for i, w in enumerate(windows):
             m = min(len(w), W + k - 1)
             codes[i, :m] = w.codes[:m]
             lens[i] = max(0, m - k + 1)
-        np.copyto(codes32, codes, casting="unsafe")
-        acc[:] = 0
-        for j in range(k):
-            np.left_shift(codes32[:, j : j + W], 2 * (k - 1 - j), out=tmp)
-            np.bitwise_or(acc, tmp, out=acc)
-        if 4 ** k <= 32768:
-            np.copyto(km16, acc, casting="unsafe")
-            km = km16
-        else:
-            km = acc
-        return self._put_data(km), self._put_data(lens), n
+        c4 = codes.reshape(nb, -1, 4)
+        np.copyto(packed, c4[:, :, 3], casting="unsafe")
+        np.bitwise_or(packed, c4[:, :, 0] << 6, out=packed)
+        np.bitwise_or(packed, c4[:, :, 1] << 4, out=packed)
+        np.bitwise_or(packed, c4[:, :, 2] << 2, out=packed)
+        return self._put_data(packed), self._put_data(lens), n
 
-    def gate(self, kmers_dev, lens_dev, front: bool, n: int) -> np.ndarray:
+    def gate(self, packed_dev, lens_dev, front: bool, n: int,
+             W: int) -> np.ndarray:
         table = self._front_km if front else self._back_km
-        counts = _gate_counts(kmers_dev, lens_dev, table)
+        counts = _gate_counts(_unpack_kmers(packed_dev, self.k, W),
+                              lens_dev, table)
         return np.asarray(counts)[:n]
 
     def match_dispatch(self, windows, front: bool, gate_min: np.ndarray,
@@ -516,7 +544,7 @@ class WindowChainEngine:
             km_dev, lens_dev, n = self.upload(sub, W)
             call = lambda budget, km=km_dev, ln=lens_dev: _fused_match(
                 km, ln, table, gm, cm, a_seeds, a_pos, a_len,
-                self.kmer2seed, k=self.k, max_anchors=max_anchors,
+                self.kmer2seed, k=self.k, W=W, max_anchors=max_anchors,
                 top_t=top_t, pair_budget=budget)
             futures.append((n, call(pair_budget), pair_budget, call,
                             top_t))
@@ -592,8 +620,8 @@ class WindowChainEngine:
             km_dev, lens_dev, n = self.upload(sub, W)
             futures.append((n, _fused_edge_verdict(
                 km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
-                self.kmer2seed, is_bc, k=self.k, max_anchors=max_anchors,
-                top_t=top_t)))
+                self.kmer2seed, is_bc, k=self.k, W=W,
+                max_anchors=max_anchors, top_t=top_t)))
         return futures
 
     def edge_verdict_collect(self, futures, num_adapters: int):
@@ -627,7 +655,7 @@ class WindowChainEngine:
             km_dev, lens_dev, _ = self.upload(sub, W)
             futs.append(_fused_enable(
                 km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
-                self.kmer2seed, k=self.k, max_anchors=max_anchors,
+                self.kmer2seed, k=self.k, W=W, max_anchors=max_anchors,
                 top_t=top_t))
         out = np.zeros(table.shape[1], np.int64)
         for f in futs:
@@ -642,24 +670,45 @@ class WindowChainEngine:
                                 det_budget: int = 4096):
         """Upload interior windows + enqueue the on-device detection scan
         (front adapters; the middle pass only uses those)."""
+        uploads = [self.upload(windows[lo : lo + batch], W) + (lo,)
+                   for lo in range(0, len(windows), batch)]
+        return self.window_verdict_dispatch_packed(
+            uploads, gate_min, chain_min, mid_threshold, W, top_t,
+            max_anchors, pair_budget, det_budget)
+
+    def window_verdict_dispatch_packed(self, uploads, gate_min, chain_min,
+                                       mid_threshold: int, W: int,
+                                       top_t: int = 8,
+                                       max_anchors: int = 128,
+                                       pair_budget: int = 16384,
+                                       det_budget: int = 4096):
+        """Enqueue the detection scan over pre-uploaded packed batches:
+        ``uploads`` is a list of (packed_dev, lens_dev, n, lo) where
+        ``lo`` is the global index of the batch's first window.  Callers
+        that pack windows straight from read arrays (no per-window
+        python work) use this entry."""
         table = self._front_km
         a_seeds, a_pos, a_len = self.front
         gm, cm, A = self._pad_mins(table, gate_min, chain_min)
         if A == 0:
             return [(0, None, None)]
         futures = []
-        for lo in range(0, len(windows), batch):
-            sub = windows[lo : lo + batch]
-            km_dev, lens_dev, n = self.upload(sub, W)
+        for km_dev, lens_dev, n, lo in uploads:
             call = lambda pb, db, km=km_dev, ln=lens_dev: \
                 _fused_window_verdict(
                     km, ln, table, gm, cm, a_seeds, a_pos, a_len,
                     self.kmer2seed, jnp.int32(mid_threshold), k=self.k,
-                    max_anchors=max_anchors, top_t=top_t,
+                    W=W, max_anchors=max_anchors, top_t=top_t,
                     pair_budget=pb, det_budget=db)
             futures.append((lo, call(pair_budget, det_budget),
                             (call, pair_budget, det_budget)))
         return futures
+
+    def upload_rows(self, packed_rows: np.ndarray, lens: np.ndarray,
+                    n: int):
+        """Ship a caller-prepared packed window batch ([nb, CL/4] uint8
+        rows + k-mer counts)."""
+        return self._put_data(packed_rows), self._put_data(lens), n
 
     def window_verdict_collect(self, futures):
         """Fetch window detections: [(window idx, adapter idx, start,
@@ -697,8 +746,8 @@ class WindowChainEngine:
             windows, front, gate_min, chain_min, W, top_t=top_t,
             max_anchors=max_anchors, batch=batch))
 
-    def chain(self, kmers_dev, lens_dev, pair_ei, pair_ai, pair_mm,
-              front: bool, max_anchors: int = 128,
+    def chain(self, packed_dev, lens_dev, pair_ei, pair_ai, pair_mm,
+              front: bool, W: int, max_anchors: int = 128,
               max_pairs: int = 16384):
         """Indexed chain summary over (window, adapter) pairs; only the
         index arrays travel to the device.  All slices dispatch before any
@@ -718,8 +767,9 @@ class WindowChainEngine:
             mm = np.ones(PB, np.int32)
             mm[:n] = pair_mm[lo:hi]
             return n, _chain_from_windows(
-                a_seeds, a_pos, a_len, self.kmer2seed, kmers_dev,
-                lens_dev, ei, ai, mm, k=self.k, max_anchors=max_anchors)
+                a_seeds, a_pos, a_len, self.kmer2seed, packed_dev,
+                lens_dev, ei, ai, mm, k=self.k, W=W,
+                max_anchors=max_anchors)
 
         futures = [dispatch(lo, min(lo + max_pairs, P))
                    for lo in range(0, P, max_pairs)]

@@ -387,44 +387,118 @@ class Trimmer:
                 seqs.set_back_trim(rid, end)
 
     # -- middle pass -------------------------------------------------------
-    def _middle_pass(self, seqs, window_batch: int = 32768):
+    def _mid_min_matches(self) -> np.ndarray:
+        """Gate/chain threshold per adapter for the middle pass: a chain
+        of L anchors covers at most L*k bases, so mid_threshold% identity
+        needs L >= ceil(thr*len/(100*k)) shared seeds."""
+        return np.array([
+            max(3, ad.num_seeds // 5,
+                -(-self.mid_threshold * ad.length // (100 * self.k)))
+            for ad in self.front_adapters])
+
+    def _middle_pass(self, seqs, window_batch: int = 16384):
         """Search read interiors for read-splitting adapters.
 
         The reference chunks interiors into the seed index and retrieves
         candidates per adapter with the soft-union, re-indexing every 300M
         seeds (ref: trim/trim.go:151-257, 515-591).  The TPU-native shape
-        is uniform 200-base interior windows (any adapter up to
+        is uniform 256-base interior windows (any adapter up to
         LONGEST_ADAPTER bases lies fully inside one window) gated by the
-        same MXU matmul as the edge pass, then batch-chained; the rolling
-        index and re-index rounds disappear.  The split/crop decision
-        logic and thresholds are the reference's."""
+        same device scan as the edge pass, then batch-chained; the
+        rolling index and re-index rounds disappear.  The split/crop
+        decision logic and thresholds are the reference's.
+
+        Windows are cut as 2-bit packed byte rows straight out of each
+        read's packed code array (starts aligned to 4 bases) — no
+        per-window python objects or copies on the hot path."""
         from collections import deque
         splits = {}
-        windows: List[Sequence] = []
         win = 256
-        step = win - LONGEST_ADAPTER - self.k  # any adapter fits one window
+        CL4 = win // 4
+        k = self.k
+        step = ((win - LONGEST_ADAPTER - k) // 4) * 4
+        lo0 = (EDGE_SIZE // 4) * 4
+        eng = self._engine()
+        W = self.WINDOW - k + 1
+        min_matches = self._mid_min_matches()
+        if len(min_matches) == 0:
+            return
+
+        N_SLOTS = 4
+        bufs = [(np.zeros((window_batch, CL4), np.uint8),
+                 np.zeros(window_batch, np.int32)) for _ in range(N_SLOTS)]
+        slot = 0
+        rows, lens = bufs[slot]
+        metas: List[tuple] = []   # (rid, abs_start, orig_len) per window
+        count = 0
         detections = []
         pending = deque()
+
+        def dispatch():
+            nonlocal rows, lens, metas, count, slot
+            if count == 0:
+                return
+            from ..ops.chain import _bucket
+            nb = _bucket(count)
+            if self.mesh is not None:
+                D = self.mesh.shape["data"]
+                nb = ((nb + D - 1) // D) * D
+            nb = min(nb, window_batch)
+            rows[count:nb] = 0
+            lens[count:nb] = 0
+            up = eng.upload_rows(rows[:nb], lens[:nb], count)
+            futs = eng.window_verdict_dispatch_packed(
+                [up + (0,)], min_matches, min_matches,
+                self.mid_threshold, W, pair_budget=16384)
+            pending.append((metas, futs))
+            slot = (slot + 1) % N_SLOTS
+            rows, lens = bufs[slot]
+            metas = []
+            count = 0
+            if len(pending) > 2:
+                collect()
+
+        def collect():
+            ms, futs = pending.popleft()
+            for ei, ai, start, identity in eng.window_verdict_collect(futs):
+                rid, abs_start, orig_len = ms[int(ei)]
+                detections.append((rid, int(ai), abs_start + int(start),
+                                   int(identity), orig_len))
+
         for seq in seqs.get_sequences():
             n = len(seq)
-            lo, hi = EDGE_SIZE, n - EDGE_SIZE
-            if hi - lo < self.k + 4:
+            hi = n - EDGE_SIZE
+            if hi - lo0 < k + 4:
                 continue
-            starts = list(range(lo, max(lo, hi - win) + 1, step))
-            if starts and starts[-1] < hi - win:
-                starts.append(hi - win)
-            for st in starts:
-                windows.append(seq.subsequence(st, min(st + win, hi)))
-                if len(windows) >= window_batch:
-                    pending.append(self._dispatch_windows(windows))
-                    windows = []
-                    if len(pending) > 1:
-                        detections.extend(
-                            self._collect_windows(pending.popleft()))
-        if windows:
-            pending.append(self._dispatch_windows(windows))
+            last = max(lo0, ((hi - win) // 4) * 4)
+            starts = list(range(lo0, last + 1, step))
+            if starts[-1] < last:
+                starts.append(last)
+            codes = seq.codes
+            npad = ((n + 3) // 4) * 4
+            need = (starts[-1] // 4) + CL4
+            c = np.zeros(max(npad, need * 4), np.uint8)
+            c[:n] = codes
+            pr = (c[0::4] << 6) | (c[1::4] << 4) | (c[2::4] << 2) | c[3::4]
+            idx = np.asarray(starts, np.int64) // 4
+            sw = np.lib.stride_tricks.sliding_window_view(pr, CL4)
+            block = sw[idx]
+            wl = np.minimum(win, hi - np.asarray(starts)) - k + 1
+            orig_len = n + seq.offset + seq.inset
+            pos = 0
+            while pos < len(starts):
+                take = min(len(starts) - pos, window_batch - count)
+                rows[count : count + take] = block[pos : pos + take]
+                lens[count : count + take] = wl[pos : pos + take]
+                for j in range(pos, pos + take):
+                    metas.append((seq.id, seq.offset + starts[j], orig_len))
+                count += take
+                pos += take
+                if count >= window_batch:
+                    dispatch()
+        dispatch()
         while pending:
-            detections.extend(self._collect_windows(pending.popleft()))
+            collect()
         # dedupe repeated detections of one occurrence across overlapping
         # windows: same read+adapter within 30 bases keeps best identity
         best = {}
