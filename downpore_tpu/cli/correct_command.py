@@ -102,7 +102,7 @@ class CorrectCommand(Command):
              "front_adapters", "back_adapters", "model", "himem",
              "device_consensus", "data_parallel"],
             ["1000", "15", "10000", "10000", "10", "0.25", "4", "", "0",
-             "", "", "", "true", "false", "false"],
+             "", "", "", "true", "true", "false"],
             ["Size of overlap to search for in bases",
              "Minimum number of seeds to generate for each overlap query",
              "Maximum total unique seeds to use in each query batch",
@@ -117,7 +117,9 @@ class CorrectCommand(Command):
              "K-mer numeric values to use in alignment",
              "Whether to cache all reads in memory",
              "Run base-space consensus on the device beam engine "
-             "(bulk vmapped dispatches; offsets stay approximate)",
+             "(bulk vmapped dispatches; offsets stay approximate; "
+             "parity-validated vs the host landmark engine — "
+             "false falls back to the faithful host beam)",
              "Shard query batches across all attached devices "
              "(jax.sharding data mesh; the chunk index replicates)"])
 
@@ -202,14 +204,21 @@ class CorrectCommand(Command):
             print("Preparing base-space consensus of all query results.",
                   file=sys.stderr)
             consensus_seqs = []
-            if parse_bool(args["device_consensus"]):
+            use_device = parse_bool(args["device_consensus"])
+            if use_device:
                 from ..consensus import build_consensus_bulk
                 flat = [c for contigs in seed_consensus for c in contigs
                         if c is not None]
-                for _, cons in build_consensus_bulk(flat, all_seq, mod):
-                    if cons is not None:
-                        consensus_seqs.append(cons)
-            else:
+                try:
+                    for _, cons in build_consensus_bulk(flat, all_seq, mod):
+                        if cons is not None:
+                            consensus_seqs.append(cons)
+                except Exception as e:
+                    print(f"Device consensus failed ({e}); falling back "
+                          "to the host engine.", file=sys.stderr)
+                    use_device = False
+                    consensus_seqs = []
+            if not use_device:
                 for contigs in seed_consensus:
                     for contig in contigs:
                         if contig is None:

@@ -39,7 +39,8 @@ def build_consensus(contig: SeedContig, sequences, model=None,
             else model.pair_table()
         kmers = consensus_kmers(seqs, table, k,
                                 threshold=cost_threshold,
-                                gap_cost=initial_gap_cost)
+                                gap_cost=initial_gap_cost,
+                                simple_k=k if model is None else 0)
         if len(kmers) < 100:
             return None, None
         consensus_len = len(kmers) - k + 1
@@ -151,7 +152,8 @@ def build_consensus_bulk(contigs: List[SeedContig], sequences, model=None
         return out
     all_kmers = consensus_kmers_bulk(jobs, table, k,
                                      threshold=cost_threshold,
-                                     gap_cost=initial_gap_cost)
+                                     gap_cost=initial_gap_cost,
+                                     simple_k=k if model is None else 0)
     for ji, ci in enumerate(job_map):
         kmers = all_kmers[ji]
         if len(kmers) < 100:

@@ -31,6 +31,19 @@ BIG = np.int32(1 << 28)
 FULL = 0xFFFF
 
 
+def _argmin_last(x, axis=-1):
+    """Index of the minimum, ties broken toward the HIGHEST index.
+
+    The band frontier must be the furthest-advanced minimal-cost lane:
+    on zero-cost plateaus (homopolymer runs, drifted stretches)
+    ``jnp.argmin``'s lowest-index tie-break pins the frontier at the
+    plateau's start, the advance-requiring vote rule then keeps passing
+    forever, and the beam emits unbounded run extensions — the failure
+    the parity harness catches on homopolymer/drift cases."""
+    n = x.shape[axis]
+    return (n - 1) - jnp.argmin(jnp.flip(x, axis), axis=axis)
+
+
 def _band_update(poffs, ds, threshold):
     """Vectorized band update over [..., W] (see align.band)."""
     full = jnp.int32(FULL)
@@ -50,12 +63,38 @@ def _band_update(poffs, ds, threshold):
     return out, m
 
 
+_SIMPLE_WEIGHTS = {
+    # (shift, weight) pairs per k — the exact schedule of
+    # align.measures.build_simple_table (ref: measures.go:45-104)
+    5: ((4, 8), (6, 2), (2, 2), (0, 1), (8, 1)),
+    4: ((4, 4), (2, 4), (6, 2), (0, 2)),
+    3: ((2, 8), (4, 2), (0, 2)),
+    6: ((4, 4), (6, 4), (2, 2), (8, 2), (0, 1), (10, 1)),
+    1: ((0, 8),),
+}
+
+
+def _simple_distance(a, b, k: int):
+    """Position-weighted XOR mismatch cost computed arithmetically — the
+    simpleMeasure table value without the table (ref: measures.go:45-104).
+    ~12 integer VPU ops instead of a [4^k, 4^k] gather per band cell; the
+    per-step gather was the device beam engine's dominant cost."""
+    d = a ^ b
+    cost = None
+    for sh, w in _SIMPLE_WEIGHTS[k]:
+        bit = ((d >> sh) | (d >> (sh + 1))) & 1
+        term = bit * w
+        cost = term if cost is None else cost + term
+    return cost
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "beam", "t_max", "threshold",
-                                    "gap_cost"))
+                                    "gap_cost", "simple_k"))
 def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
                      beam: int = 16, t_max: int = 256,
-                     threshold: int = 300, gap_cost: int = 8):
+                     threshold: int = 300, gap_cost: int = 8,
+                     simple_k: int = 0):
     """One consensus job on device.
 
     seq_kmers: [N, L] int32 (pad -1); lens: [N]; table: [4^k, 4^k] uint16
@@ -95,7 +134,12 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         km_at = jnp.take_along_axis(
             jnp.broadcast_to(seq_kmers, (beam, 4, N, L)),
             jnp.clip(widx, 0, L - 1), axis=3)
-        ds = table[nextk[:, :, None, None], jnp.clip(km_at, 0)].astype(jnp.int32)
+        if simple_k:
+            ds = _simple_distance(nextk[:, :, None, None],
+                                  jnp.clip(km_at, 0), simple_k)
+        else:
+            ds = table[nextk[:, :, None, None],
+                       jnp.clip(km_at, 0)].astype(jnp.int32)
         ds = jnp.where(inb & (km_at >= 0), ds, BIG // 64)
         poffs = jnp.broadcast_to(state["offsets"][:, None], (beam, 4, N, W))
         out, m = _band_update(poffs, ds, threshold)              # [B,4,N,W], [B,4,N]
@@ -110,7 +154,7 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         # behind the frontier (the zero-cost stall loop) does not count
         # (the reference's vote likewise demands the kmer at the
         # sequence's current position, alignment.go:714).
-        bl = jnp.argmin(poffs, axis=3)                           # [B, 4, N]
+        bl = _argmin_last(poffs, axis=3)                         # [B, 4, N]
         ahead = jnp.arange(W)[None, None, None, :] >= bl[..., None]
         exact = jnp.any((ds == 0) & (out < FULL) & ahead, axis=3)  # [B,4,N]
         vote_w = jnp.floor(8.0 * state["quality"] + 0.5)         # [B, N]
@@ -168,7 +212,7 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         new_quality = jnp.where(fin[:, None], state["quality"][parent],
                                 new_quality)
         # drift recentring (ref: alignment.go:245-273)
-        bp = jnp.argmin(new_off, axis=2)                         # [B, N]
+        bp = _argmin_last(new_off, axis=2)                       # [B, N]
         drift = centre - bp
         do = (jnp.abs(drift) > 4) & ~fin[:, None]
         shift = jnp.where(do, drift, 0)
@@ -180,7 +224,7 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         new_off = jnp.where(do[:, :, None], shifted_off, new_off)
         new_pos = new_pos - shift
         # finished: any live member's best lane reaches its end
-        best_lane = jnp.argmin(new_off, axis=2)
+        best_lane = _argmin_last(new_off, axis=2)
         seq_pos = new_pos + best_lane - centre
         new_fin = fin | jnp.any((seq_pos >= lens[None, :] - 1)
                                 & (lens[None, :] > 0), axis=1)
@@ -241,7 +285,7 @@ def _traceback(kmers, parents, fin_at, costs, first: int) -> np.ndarray:
 
 def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
                     k: int, beam: int = 16, threshold: int = 300,
-                    gap_cost: int = 8) -> np.ndarray:
+                    gap_cost: int = 8, simple_k: int = 0) -> np.ndarray:
     """Host wrapper: pad one job, run the device beam, trace back the
     cheapest finished state.  Returns the consensus k-mer array."""
     N = len(seq_kmers_list)
@@ -251,25 +295,28 @@ def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
     t_max = ((t_max + 31) // 32) * 32
     kmers, parents, fin_at, costs, final_cost = device_consensus(
         seq, lens, np.asarray(table, np.uint16), first, k=k, beam=beam,
-        t_max=t_max, threshold=threshold, gap_cost=gap_cost)
+        t_max=t_max, threshold=threshold, gap_cost=gap_cost,
+        simple_k=simple_k)
     return _traceback(np.asarray(kmers), np.asarray(parents),
                       np.asarray(fin_at), np.asarray(costs), first)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "beam", "t_max", "threshold",
-                                    "gap_cost"))
+                                    "gap_cost", "simple_k"))
 def _device_consensus_vmapped(seqs, lens, table, firsts, k, beam, t_max,
-                              threshold, gap_cost):
+                              threshold, gap_cost, simple_k):
     return jax.vmap(
         device_consensus,
-        in_axes=(0, 0, None, 0, None, None, None, None, None),
-    )(seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost)
+        in_axes=(0, 0, None, 0, None, None, None, None, None, None),
+    )(seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost,
+      simple_k)
 
 
 def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
                          k: int, beam: int = 16, threshold: int = 300,
-                         gap_cost: int = 8) -> List[np.ndarray]:
+                         gap_cost: int = 8,
+                         simple_k: int = 0) -> List[np.ndarray]:
     """Many consensus jobs in few device dispatches.
 
     Jobs are bucketed by padded shape (member count to a multiple of 4,
@@ -297,7 +344,8 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
         t_max = int(L * 1.3) + 32
         t_max = ((t_max + 31) // 32) * 32
         kmers, parents, fin_at, costs, _ = _device_consensus_vmapped(
-            seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost)
+            seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost,
+            simple_k)
         kmers, parents = np.asarray(kmers), np.asarray(parents)
         fin_at, costs = np.asarray(fin_at), np.asarray(costs)
         for i, (ji, _) in enumerate(entries):
