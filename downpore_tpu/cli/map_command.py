@@ -13,9 +13,9 @@ class MapCommand(Command):
         super().__init__(
             ["input", "reference", "circular", "k", "query_size",
              "min_length", "chunk_size", "seed_rate", "num_workers",
-             "data_parallel"],
+             "data_parallel", "seed_shards"],
             ["", "", "true", "11", "1000", "500", "10000", "40", "4",
-             "false"],
+             "false", "1"],
             ["Fasta/fastq input file",
              "A fasta file containing a reference sequence to align against",
              "Whether the reference genome is circular",
@@ -26,7 +26,10 @@ class MapCommand(Command):
              "The maximum number of bases between seeds in the reference",
              "The number of worker process to use for mapping",
              "Shard query batches across all attached devices "
-             "(jax.sharding data mesh; the reference index replicates)"])
+             "(jax.sharding data mesh; the reference index replicates)",
+             "Shard the seed index over this many devices (with "
+             "-data_parallel: a data x seed mesh; retrieval counts merge "
+             "with a psum over the seed axis)"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -42,9 +45,10 @@ class MapCommand(Command):
         print("K-mer counting complete. Preparing to start indexing and "
               "querying...", file=sys.stderr)
         mesh = None
-        if parse_bool(args["data_parallel"]):
+        n_seed = parse_int(args["seed_shards"])
+        if parse_bool(args["data_parallel"]) or n_seed > 1:
             from ..parallel.mesh import make_mesh
-            mesh = make_mesh()
+            mesh = make_mesh(n_seed=n_seed)
         mapper = Mapper(reference, parse_bool(args["circular"]), k, values,
                         parse_int(args["seed_rate"]),
                         parse_int(args["query_size"]),

@@ -16,9 +16,9 @@ class OverlapCommand(Command):
             ["overlap_size", "k", "num_seeds", "seed_batch_size",
              "chunk_size", "query_batch_size", "min_hits", "num_workers",
              "input", "seed_values", "himem", "data_parallel",
-             "checkpoint"],
+             "checkpoint", "seed_shards"],
             ["1000", "10", "15", "10000", "10000", "20000", "0.25", "4",
-             "", "", "true", "false", ""],
+             "", "", "true", "false", "", "1"],
             ["Size of overlap to search for in bases",
              "Number of bases in each seed",
              "Minimum number of seeds to generate for each overlap query",
@@ -32,7 +32,10 @@ class OverlapCommand(Command):
              "Whether to cache all reads in memory",
              "Shard query batches across all attached devices "
              "(jax.sharding data mesh; the chunk index replicates)",
-             "Snapshot file for checkpoint/resume at round boundaries"])
+             "Snapshot file for checkpoint/resume at round boundaries",
+             "Shard the chunk seed index over this many devices (with "
+             "-data_parallel: a data x seed mesh; retrieval counts merge "
+             "with a psum over the seed axis)"])
 
     def run(self, args):
         from ..io import SequenceSet
@@ -58,9 +61,10 @@ class OverlapCommand(Command):
               file=sys.stderr)
 
         mesh = None
-        if parse_bool(args["data_parallel"]):
+        n_seed = parse_int(args["seed_shards"])
+        if parse_bool(args["data_parallel"]) or n_seed > 1:
             from ..parallel.mesh import make_mesh
-            mesh = make_mesh()
+            mesh = make_mesh(n_seed=n_seed)
         first_sequence = 0
         round_no = 0
         ckpt = args.get("checkpoint") or None

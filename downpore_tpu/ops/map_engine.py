@@ -38,6 +38,41 @@ from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
     unpack_summary, _bucket
 
 
+def _count_rows(membership, buckets):
+    """Retrieval: hit counts as a gather+sum over the membership matrix.
+    ``buckets [M, R]`` (pad -1) -> ``[M, C]`` int32."""
+    live = buckets >= 0
+    rows = jnp.take(membership, jnp.clip(buckets, 0), axis=0)  # [M,R,C]
+    rows = jnp.where(live[:, :, None], rows, 0)
+    return jnp.sum(rows.astype(jnp.int32), axis=1)
+
+
+def make_sharded_counts(mesh):
+    """Seed-axis-sharded retrieval (SURVEY §2.3's genome-scale answer):
+    the membership matrix rows shard over the mesh's ``seed`` axis (each
+    device holds H/n_seed hash buckets), every device counts the query
+    buckets that fall in its row range, and a psum over ``seed`` merges
+    the partial counts — the collective rides the ICI.  Queries replicate
+    over ``seed`` and shard over ``data``."""
+    import functools as ft
+    from jax.sharding import PartitionSpec as P
+
+    @ft.partial(jax.shard_map, mesh=mesh,
+                in_specs=(P("seed", None), P("data", None)),
+                out_specs=P("data", None))
+    def counts(m_local, buckets):
+        H_loc = m_local.shape[0]
+        lo = jax.lax.axis_index("seed") * H_loc
+        rel = buckets - lo
+        live = (buckets >= 0) & (rel >= 0) & (rel < H_loc)
+        rows = jnp.take(m_local, jnp.clip(rel, 0, H_loc - 1), axis=0)
+        rows = jnp.where(live[:, :, None], rows, 0)
+        part = jnp.sum(rows.astype(jnp.int32), axis=1)
+        return jax.lax.psum(part, "seed")
+
+    return jax.jit(counts)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
                                               "chunk"))
 def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
@@ -50,19 +85,24 @@ def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
     idx, distinct shared-seed count, packed chain summary); the trailing
     row carries the true passing-pair count for overflow detection.
     """
+    counts = _count_rows(membership, q_rb)
+    dcounts = _count_rows(membership, q_db)
+    return _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
+                            base_min, q_len, t_seeds, t_pos, k=k,
+                            pair_budget=pair_budget, top_k=top_k,
+                            chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
+                                              "chunk"))
+def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
+                     q_len, t_seeds, t_pos,
+                     k: int, pair_budget: int, top_k: int = 4,
+                     chunk: int = 1024):
+    """Gate + chain + summary from precomputed retrieval counts (the
+    entry point for the seed-sharded retrieval path)."""
     M = q_seeds.shape[0]
-    C = membership.shape[1]
-
-    # retrieval: counts from run buckets, distinct counts from distinct
-    # buckets — two gather+sum reductions over the membership matrix
-    def count_rows(buckets):
-        live = buckets >= 0
-        rows = jnp.take(membership, jnp.clip(buckets, 0), axis=0)  # [M,R,C]
-        rows = jnp.where(live[:, :, None], rows, 0)
-        return jnp.sum(rows.astype(jnp.int32), axis=1)
-
-    counts = count_rows(q_rb)
-    dcounts = count_rows(q_db)
+    C = counts.shape[1]
     ok = (counts >= min_count[:, None]) & (dcounts >= base_min[:, None]) \
         & (min_count[:, None] > 0)
 
@@ -126,17 +166,25 @@ def _fused_overlap(q_seeds, q_pos, q_rb, q_db, min_count, base_min,
     seeds, chain query-seed indices end->start, chain target-seed
     indices end->start); -1 pads.  Returns (rows, passing-pair count).
     """
+    counts = _count_rows(membership, q_rb)
+    dcounts = _count_rows(membership, q_db)
+    return _overlap_from_counts(counts, dcounts, q_seeds, q_pos,
+                                min_count, base_min, t_seeds, t_pos,
+                                k=k, pair_budget=pair_budget,
+                                variant=variant, chunk=chunk,
+                                chain_len=chain_len)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
+                                              "chunk", "chain_len"))
+def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
+                         base_min, t_seeds, t_pos,
+                         k: int, pair_budget: int, variant: str = "aligner",
+                         chunk: int = 512, chain_len: int = 128):
+    """Gate + chain + best-chain walk from precomputed retrieval counts
+    (the seed-sharded retrieval entry)."""
     M = q_seeds.shape[0]
-    C = membership.shape[1]
-
-    def count_rows(buckets):
-        live = buckets >= 0
-        rows = jnp.take(membership, jnp.clip(buckets, 0), axis=0)
-        rows = jnp.where(live[:, :, None], rows, 0)
-        return jnp.sum(rows.astype(jnp.int32), axis=1)
-
-    counts = count_rows(q_rb)
-    dcounts = count_rows(q_db)
+    C = counts.shape[1]
     ok = (counts >= min_count[:, None]) & (dcounts >= base_min[:, None]) \
         & (min_count[:, None] > 0)
     ok_flat = ok.reshape(-1)
@@ -217,6 +265,9 @@ class MapEngine:
             t_seeds[ci_, :m] = s.seeds[:m]
             t_pos[ci_, :m] = s.seed_positions(k)[:m]
             self.chunk_nseeds[ci_] = s.num_seeds
+        self.seed_sharded = (mesh is not None
+                             and "seed" in mesh.axis_names
+                             and mesh.shape["seed"] > 1)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
@@ -226,7 +277,21 @@ class MapEngine:
         else:
             self._put = jax.device_put
             self._put_data = jax.device_put
-        self.membership = self._put(mem)
+        if self.seed_sharded:
+            # shard the hash-bucket axis across the seed mesh axis: each
+            # device holds H/n_seed rows; retrieval psums partial counts
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ns = mesh.shape["seed"]
+            HP = ((self.H + ns - 1) // ns) * ns
+            if HP != self.H:
+                mem = np.concatenate(
+                    [mem, np.zeros((HP - self.H, mem.shape[1]), mem.dtype)])
+            self.membership = jax.device_put(
+                mem, NamedSharding(mesh, P("seed", None)))
+            self._sharded_counts = make_sharded_counts(mesh)
+        else:
+            self.membership = self._put(mem)
+            self._sharded_counts = None
         self.t_seeds = self._put(t_seeds)
         self.t_pos = self._put(t_pos)
         # "usable" per Matches: seeds present in every chunk carry no info
@@ -314,6 +379,13 @@ class MapEngine:
             pair_budget = max(4096, 2 * MB)
 
         def call(budget):
+            if self.seed_sharded:
+                counts = self._sharded_counts(self.membership, args[2])
+                dcounts = self._sharded_counts(self.membership, args[3])
+                return _map_from_counts(
+                    counts, dcounts, args[0], args[1], args[4], args[5],
+                    args[6], self.t_seeds, self.t_pos, k=self.k,
+                    pair_budget=budget, top_k=top_k)
             return _fused_map(*args, self.membership, self.t_seeds,
                               self.t_pos, k=self.k, pair_budget=budget,
                               top_k=top_k)
@@ -357,6 +429,14 @@ class MapEngine:
             pair_budget = max(8192, 4 * MB)
 
         def call(budget):
+            if self.seed_sharded:
+                counts = self._sharded_counts(self.membership, args[2])
+                dcounts = self._sharded_counts(self.membership, args[3])
+                return _overlap_from_counts(
+                    counts, dcounts, args[0], args[1], args[4], args[5],
+                    self.t_seeds, self.t_pos, k=self.k,
+                    pair_budget=budget, variant=variant,
+                    chain_len=chain_len)
             return _fused_overlap(*args, self.membership, self.t_seeds,
                                   self.t_pos, k=self.k, pair_budget=budget,
                                   variant=variant, chain_len=chain_len)

@@ -34,6 +34,10 @@ def make_mesh(n_data: int = None, n_seed: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if n_data is None:
         n_data = n // n_seed
+    if n_data < 1 or n_data * n_seed > n:
+        raise ValueError(
+            f"mesh needs n_data x n_seed <= devices: have {n} device(s), "
+            f"asked for n_data={n_data} x n_seed={n_seed}")
     dev = np.asarray(devices[: n_data * n_seed]).reshape(n_data, n_seed)
     return Mesh(dev, axis_names=("data", "seed"))
 
