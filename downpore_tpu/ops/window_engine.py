@@ -62,12 +62,16 @@ def _gate_counts(kmers, lens, km_table):
 
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
                                               "variant", "top_k"))
-def _chain_from_windows(a_seeds, a_pos, a_len, kmer2seed, packed_dev,
+def _chain_from_windows(a_seeds, a_pos, a_len, packed_dev,
                         lens_dev, ei, ai, mm, k: int, W: int,
                         max_anchors: int,
                         variant: str = "extend", top_k: int = 4):
-    """Chain DP whose target seed lists are gathered on device from the
-    resident window k-mer array."""
+    """Chain DP whose target lists are the resident window k-mer rows.
+
+    Adapter seed tables are stored in k-mer space (seed id -> k-mer is a
+    bijection, seeds/seed_index.py:41-49), so window k-mers compare
+    directly — no kmer->seed translation gather (a 4M-element gather cost
+    ~77 ms/batch on TPU, the single hottest op in round-1 profiles)."""
     kmers_dev = _unpack_kmers(packed_dev, k, W)
     qs = a_seeds[ai].astype(jnp.int32)
     qp = a_pos[ai].astype(jnp.int32)
@@ -75,7 +79,7 @@ def _chain_from_windows(a_seeds, a_pos, a_len, kmer2seed, packed_dev,
     km = kmers_dev[ei].astype(jnp.int32)          # [P, W]
     pos = jax.lax.broadcasted_iota(jnp.int32, km.shape, 1)
     valid = pos < lens_dev[ei][:, None]
-    ts = jnp.where(valid, jnp.take(kmer2seed, jnp.clip(km, 0)), -1)
+    ts = jnp.where(valid, km, -1)
     return chain_batch_summary(qs, qp, ts, pos, mm, alen,
                                k=k, max_anchors=max_anchors,
                                variant=variant, top_k=top_k)
@@ -109,7 +113,7 @@ def _pad_pairs(arrs, fills, chunk: int):
             for a, f in zip(arrs, fills)]
 
 
-def _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed, ei, ai,
+def _anchors_chunked(kmers, lens, a_seeds, a_pos, ei, ai,
                      chunk: int = 4096):
     """Anchor enumeration for (window, adapter) pairs in fixed chunks —
     bounds the [chunk, NQ, W] equality tensor; the DP then runs on the
@@ -122,7 +126,7 @@ def _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed, ei, ai,
         km = kmers[ei_c].astype(jnp.int32)
         pos = jax.lax.broadcasted_iota(jnp.int32, km.shape, 1)
         valid = pos < lens[ei_c][:, None]
-        ts = jnp.where(valid, jnp.take(kmer2seed, jnp.clip(km, 0)), -1)
+        ts = jnp.where(valid, km, -1)  # adapter tables are in k-mer space
         return make_anchors_topk(qs, qp, ts, pos, per_seed=2)
 
     C = ei.shape[0] // chunk
@@ -136,7 +140,7 @@ def _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed, ei, ai,
                                               "top_t", "top_k",
                                               "pair_budget"))
 def _fused_match(packed, lens, km_table, gate_min, chain_min,
-                 a_seeds, a_pos, a_len, kmer2seed,
+                 a_seeds, a_pos, a_len,
                  k: int, W: int, max_anchors: int, top_t: int = 4,
                  top_k: int = 4, pair_budget: int = 0):
     """Gate + adapter selection + chain + summary in ONE device call.
@@ -190,7 +194,7 @@ def _fused_match(packed, lens, km_table, gate_min, chain_min,
         km = kmers[ei].astype(jnp.int32)
         pos = jax.lax.broadcasted_iota(jnp.int32, km.shape, 1)
         valid = pos < lens[ei][:, None]
-        ts = jnp.where(valid, jnp.take(kmer2seed, jnp.clip(km, 0)), -1)
+        ts = jnp.where(valid, km, -1)  # adapter tables are in k-mer space
         return make_anchors_topk(qs, qp, ts, pos, per_seed=2)
 
     def chain_all(ei, ai, mm):
@@ -234,7 +238,7 @@ def _fused_match(packed, lens, km_table, gate_min, chain_min,
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
                                               "top_t"))
 def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
-                        a_seeds, a_pos, a_len, kmer2seed, is_barcode,
+                        a_seeds, a_pos, a_len, is_barcode,
                         k: int, W: int, max_anchors: int, top_t: int = 8):
     """Edge pass fully on device: gate + chain + the per-edge adapter walk
     of the reference's findMatches (ref: trim/trim.go:354-428).
@@ -251,8 +255,7 @@ def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
                                   chain_min, top_t)
     CHUNK = 4096
     ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
-    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed,
-                               ei_p, ai_p)
+    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
     out = dp_from_anchors(anchors, k)
     s = summarize_scalars(out, mm_p, a_len[ai_p], k)
 
@@ -314,7 +317,7 @@ def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
                                               "top_t"))
 def _fused_enable(packed, lens, km_table, gate_min, chain_min,
-                  a_seeds, a_pos, a_len, kmer2seed,
+                  a_seeds, a_pos, a_len,
                   k: int, W: int, max_anchors: int, top_t: int = 8):
     """DetermineAdapters on device: per-adapter max covered query bases
     over the whole batch (ref isNewFullMatch, trim/trim.go:326-352).
@@ -325,8 +328,7 @@ def _fused_enable(packed, lens, km_table, gate_min, chain_min,
                                   chain_min, top_t)
     CHUNK = 4096
     ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
-    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed,
-                               ei_p, ai_p)
+    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
     out = dp_from_anchors(anchors, k)
     s = summarize_scalars(out, mm_p, a_len[ai_p], k)
     cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
@@ -337,7 +339,7 @@ def _fused_enable(packed, lens, km_table, gate_min, chain_min,
                                               "top_t", "top_k",
                                               "pair_budget", "det_budget"))
 def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
-                          a_seeds, a_pos, a_len, kmer2seed, mid_threshold,
+                          a_seeds, a_pos, a_len, mid_threshold,
                           k: int, W: int, max_anchors: int, top_t: int = 8,
                           top_k: int = 4, pair_budget: int = 16384,
                           det_budget: int = 4096):
@@ -371,8 +373,7 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
         mm_s = jnp.where(live, mm_p[cl], _BIGM)
     else:
         ei_s, ai_s, mm_s = ei_p, ai_p, mm_p
-    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, kmer2seed,
-                               ei_s, ai_s)
+    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_s, ai_s)
     out = dp_from_anchors(anchors, k)
     alen_s = a_len[ai_s]
     s = summarize_scalars(out, mm_s, alen_s, k)
@@ -420,16 +421,22 @@ class WindowChainEngine:
             self._put = jax.device_put
             self._put_data = jax.device_put
         size = kmer_map.shape[0]
-        self.kmer2seed = self._put(kmer_map.astype(np.int32))
+        sm = np.asarray(seed_map, dtype=np.int64)
 
         def tables(adapters):
+            """Adapter seed tables, stored in k-mer space: seed id ->
+            k-mer is a bijection (seeds/seed_index.py:41-49), and window
+            rows are already k-mers — comparing in k-mer space removes
+            the per-position kmer->seed translation gather (was ~77 ms
+            per 16k-window batch on TPU, the hottest op in the trim
+            pipeline)."""
             A = len(adapters)
             seeds = np.full((max(1, A), nq), -1, np.int32)
             pos = np.zeros((max(1, A), nq), np.int16)
             alen = np.zeros(max(1, A), np.int32)
             for i, ad in enumerate(adapters):
                 m = min(ad.num_seeds, nq)
-                seeds[i, :m] = ad.seeds[:m]
+                seeds[i, :m] = sm[np.asarray(ad.seeds[:m], dtype=np.int64)]
                 pos[i, :m] = ad.seed_positions(k)[:m]
                 alen[i] = ad.length
             return (self._put(seeds), self._put(pos), self._put(alen))
@@ -544,7 +551,7 @@ class WindowChainEngine:
             km_dev, lens_dev, n = self.upload(sub, W)
             call = lambda budget, km=km_dev, ln=lens_dev: _fused_match(
                 km, ln, table, gm, cm, a_seeds, a_pos, a_len,
-                self.kmer2seed, k=self.k, W=W, max_anchors=max_anchors,
+                k=self.k, W=W, max_anchors=max_anchors,
                 top_t=top_t, pair_budget=budget)
             futures.append((n, call(pair_budget), pair_budget, call,
                             top_t))
@@ -620,7 +627,7 @@ class WindowChainEngine:
             km_dev, lens_dev, n = self.upload(sub, W)
             futures.append((n, _fused_edge_verdict(
                 km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
-                self.kmer2seed, is_bc, k=self.k, W=W,
+                is_bc, k=self.k, W=W,
                 max_anchors=max_anchors, top_t=top_t)))
         return futures
 
@@ -655,7 +662,7 @@ class WindowChainEngine:
             km_dev, lens_dev, _ = self.upload(sub, W)
             futs.append(_fused_enable(
                 km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
-                self.kmer2seed, k=self.k, W=W, max_anchors=max_anchors,
+                k=self.k, W=W, max_anchors=max_anchors,
                 top_t=top_t))
         out = np.zeros(table.shape[1], np.int64)
         for f in futs:
@@ -697,7 +704,7 @@ class WindowChainEngine:
             call = lambda pb, db, km=km_dev, ln=lens_dev: \
                 _fused_window_verdict(
                     km, ln, table, gm, cm, a_seeds, a_pos, a_len,
-                    self.kmer2seed, jnp.int32(mid_threshold), k=self.k,
+                    jnp.int32(mid_threshold), k=self.k,
                     W=W, max_anchors=max_anchors, top_t=top_t,
                     pair_budget=pb, det_budget=db)
             futures.append((lo, call(pair_budget, det_budget),
@@ -767,7 +774,7 @@ class WindowChainEngine:
             mm = np.ones(PB, np.int32)
             mm[:n] = pair_mm[lo:hi]
             return n, _chain_from_windows(
-                a_seeds, a_pos, a_len, self.kmer2seed, packed_dev,
+                a_seeds, a_pos, a_len, packed_dev,
                 lens_dev, ei, ai, mm, k=self.k, W=W,
                 max_anchors=max_anchors)
 
