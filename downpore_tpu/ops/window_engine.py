@@ -235,19 +235,48 @@ def _fused_match(packed, lens, km_table, gate_min, chain_min,
     return out.reshape(n, top_t, -1)
 
 
+def _compact_pairs(ok_flat, ei_p, ai_p, mm_p, budget: int, chunk: int):
+    """Select up to ``budget`` gate-passing pairs (rounded up to a chunk
+    multiple).  Returns (sel, live, compacted ei/ai/mm); ``sel`` holds the
+    original pair index of each slot (PC for dead slots)."""
+    PC = ei_p.shape[0]
+    B = ((budget + chunk - 1) // chunk) * chunk
+    sel = jnp.nonzero(ok_flat, size=B, fill_value=PC)[0]
+    live = sel < PC
+    cl = jnp.clip(sel, 0, PC - 1)
+    return (sel, live, jnp.where(live, ei_p[cl], 0),
+            jnp.where(live, ai_p[cl], 0),
+            jnp.where(live, mm_p[cl], _BIGM))
+
+
+def _scatter_scalars(s_c, sel, PC: int):
+    """Scatter compacted summary scalars back to the full pair grid
+    (dead slots land in the sacrificial trailing element).  Gate-failing
+    pairs report the same empty summary either way, so downstream logic
+    is unchanged."""
+    return {key: jnp.zeros((PC + 1,) + v.shape[1:], v.dtype)
+            .at[sel].set(v)[:PC] for key, v in s_c.items()}
+
+
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
-                                              "top_t"))
+                                              "top_t", "pair_budget"))
 def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
                         a_seeds, a_pos, a_len, is_barcode,
-                        k: int, W: int, max_anchors: int, top_t: int = 8):
+                        k: int, W: int, max_anchors: int, top_t: int = 8,
+                        pair_budget: int = 0):
     """Edge pass fully on device: gate + chain + the per-edge adapter walk
     of the reference's findMatches (ref: trim/trim.go:354-428).
 
     Returns (verdict [n, 4] int32 of (found, best_match, earliest,
-    latest), per-adapter chain-count totals [A] int32).  The verdict rows
-    are the ONLY per-window data fetched — bytes per read instead of the
-    per-(window, adapter) summary grids, which dominated wall-clock when
-    the host link is slow."""
+    latest), per-adapter chain-count totals [A] int32, gate-passing pair
+    count).  The verdict rows are the ONLY per-window data fetched —
+    bytes per read instead of the per-(window, adapter) summary grids,
+    which dominated wall-clock when the host link is slow.
+
+    With ``pair_budget`` > 0 the anchor build + chain DP run only on
+    gate-passing pairs (compact + scatter-back, as the middle pass does);
+    callers must re-run unbudgeted if the returned pair count exceeds the
+    budget."""
     from .chain import dp_from_anchors, summarize_scalars
     kmers = _unpack_kmers(packed, k, W)
     n, top_t_n = kmers.shape[0], top_t
@@ -255,9 +284,20 @@ def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
                                   chain_min, top_t)
     CHUNK = 4096
     ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
-    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
-    out = dp_from_anchors(anchors, k)
-    s = summarize_scalars(out, mm_p, a_len[ai_p], k)
+    PC = ei_p.shape[0]
+    ok_flat = mm_p < _BIGM
+    n_ok = jnp.sum(ok_flat.astype(jnp.int32))
+    if pair_budget and pair_budget < PC:
+        sel, live, ei_s, ai_s, mm_s = _compact_pairs(
+            ok_flat, ei_p, ai_p, mm_p, pair_budget, CHUNK)
+        anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_s, ai_s)
+        out = dp_from_anchors(anchors, k)
+        s = _scatter_scalars(
+            summarize_scalars(out, mm_s, a_len[ai_s], k), sel, PC)
+    else:
+        anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
+        out = dp_from_anchors(anchors, k)
+        s = summarize_scalars(out, mm_p, a_len[ai_p], k)
 
     P = n * top_t
     cut = lambda a: a[:P].reshape(n, top_t_n)
@@ -311,28 +351,45 @@ def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
                         axis=1)
     counts_a = jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].add(
         jnp.where(s["n_chains"] > 0, s["n_chains"], 0))
-    return verdict, counts_a
+    return verdict, counts_a, n_ok
 
 
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
-                                              "top_t"))
+                                              "top_t", "pair_budget"))
 def _fused_enable(packed, lens, km_table, gate_min, chain_min,
                   a_seeds, a_pos, a_len,
-                  k: int, W: int, max_anchors: int, top_t: int = 8):
+                  k: int, W: int, max_anchors: int, top_t: int = 8,
+                  pair_budget: int = 0):
     """DetermineAdapters on device: per-adapter max covered query bases
     over the whole batch (ref isNewFullMatch, trim/trim.go:326-352).
-    Fetches one [A] vector per batch."""
+    Fetches one [A] vector (+ the gate-passing pair count) per batch.
+    ``pair_budget`` compacts the DP to gate-passing pairs; callers re-run
+    unbudgeted on overflow."""
     from .chain import dp_from_anchors, summarize_scalars
     kmers = _unpack_kmers(packed, k, W)
     ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
                                   chain_min, top_t)
     CHUNK = 4096
     ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
-    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
-    out = dp_from_anchors(anchors, k)
-    s = summarize_scalars(out, mm_p, a_len[ai_p], k)
-    cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
-    return jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].max(cov)
+    PC = ei_p.shape[0]
+    ok_flat = mm_p < _BIGM
+    n_ok = jnp.sum(ok_flat.astype(jnp.int32))
+    if pair_budget and pair_budget < PC:
+        sel, live, ei_s, ai_s, mm_s = _compact_pairs(
+            ok_flat, ei_p, ai_p, mm_p, pair_budget, CHUNK)
+        anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_s, ai_s)
+        out = dp_from_anchors(anchors, k)
+        s = summarize_scalars(out, mm_s, a_len[ai_s], k)
+        cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
+        covs = jnp.zeros(km_table.shape[1], jnp.int32).at[ai_s].max(
+            jnp.where(live, cov, 0))
+    else:
+        anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
+        out = dp_from_anchors(anchors, k)
+        s = summarize_scalars(out, mm_p, a_len[ai_p], k)
+        cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
+        covs = jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].max(cov)
+    return covs, n_ok
 
 
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
@@ -612,35 +669,46 @@ class WindowChainEngine:
     def edge_verdict_dispatch(self, windows, front: bool,
                               gate_min: np.ndarray, chain_min: np.ndarray,
                               W: int, top_t: int = 8,
-                              max_anchors: int = 128, batch: int = 16384):
+                              max_anchors: int = 128, batch: int = 16384,
+                              pair_budget: int = 16384):
         """Upload edge windows + enqueue the full on-device edge verdict;
-        returns futures (fetch via ``edge_verdict_collect``)."""
+        returns futures (fetch via ``edge_verdict_collect``).
+
+        ``pair_budget`` > 0 compacts the anchor build + chain DP to
+        gate-passing pairs (~8x fewer than the padded top-t grid on real
+        read sets); overflowing sub-batches transparently re-run
+        unbudgeted in collect."""
         table = self._front_km if front else self._back_km
         a_seeds, a_pos, a_len = self.front if front else self.back
         is_bc = self._front_bc if front else self._back_bc
         gm, cm, A = self._pad_mins(table, gate_min, chain_min)
         if A == 0:
-            return [(len(windows), None)]
+            return [(len(windows), None, None)]
         futures = []
         for lo in range(0, len(windows), batch):
             sub = windows[lo : lo + batch]
             km_dev, lens_dev, n = self.upload(sub, W)
-            futures.append((n, _fused_edge_verdict(
-                km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
+            call = lambda pb, km=km_dev, ln=lens_dev: _fused_edge_verdict(
+                km, ln, table, gm, cm, a_seeds, a_pos, a_len,
                 is_bc, k=self.k, W=W,
-                max_anchors=max_anchors, top_t=top_t)))
+                max_anchors=max_anchors, top_t=top_t, pair_budget=pb)
+            futures.append((n, call(pair_budget), (call, pair_budget)))
         return futures
 
     def edge_verdict_collect(self, futures, num_adapters: int):
         """Fetch edge verdicts: ([n, 4] int32 rows of (found, best_match,
-        earliest, latest), per-adapter chain-count totals [A])."""
+        earliest, latest), per-adapter chain-count totals [A]).  Pair-
+        budget overflows re-run the affected sub-batch unbudgeted."""
         rows = []
         counts = np.zeros(num_adapters, np.int64)
-        for n, fut in futures:
+        for n, fut, meta in futures:
             if fut is None:
                 rows.append(np.zeros((n, 4), np.int32))
                 continue
-            verdict, c = jax.device_get(fut)
+            call, pair_budget = meta
+            verdict, c, n_ok = jax.device_get(fut)
+            if pair_budget and int(n_ok) > pair_budget:
+                verdict, c, n_ok = jax.device_get(call(0))
             rows.append(np.asarray(verdict)[:n])
             counts += np.asarray(c)[:num_adapters]
         return np.concatenate(rows) if rows else np.zeros((0, 4), np.int32), \
@@ -648,9 +716,11 @@ class WindowChainEngine:
 
     def enable_covs(self, windows, front: bool, gate_min: np.ndarray,
                     chain_min: np.ndarray, W: int, top_t: int = 8,
-                    max_anchors: int = 128, batch: int = 16384):
+                    max_anchors: int = 128, batch: int = 16384,
+                    pair_budget: int = 16384):
         """DetermineAdapters device path: per-adapter max covered bases
-        over all windows (one [A] fetch per batch)."""
+        over all windows (one [A] fetch per batch).  Pair-budget
+        overflows re-run unbudgeted."""
         table = self._front_km if front else self._back_km
         a_seeds, a_pos, a_len = self.front if front else self.back
         gm, cm, A = self._pad_mins(table, gate_min, chain_min)
@@ -660,13 +730,17 @@ class WindowChainEngine:
         for lo in range(0, len(windows), batch):
             sub = windows[lo : lo + batch]
             km_dev, lens_dev, _ = self.upload(sub, W)
-            futs.append(_fused_enable(
-                km_dev, lens_dev, table, gm, cm, a_seeds, a_pos, a_len,
+            call = lambda pb, km=km_dev, ln=lens_dev: _fused_enable(
+                km, ln, table, gm, cm, a_seeds, a_pos, a_len,
                 k=self.k, W=W, max_anchors=max_anchors,
-                top_t=top_t))
+                top_t=top_t, pair_budget=pb)
+            futs.append((call(pair_budget), (call, pair_budget)))
         out = np.zeros(table.shape[1], np.int64)
-        for f in futs:
-            out = np.maximum(out, np.asarray(f))
+        for f, (call, pb) in futs:
+            covs, n_ok = jax.device_get(f)
+            if pb and int(n_ok) > pb:
+                covs, n_ok = jax.device_get(call(0))
+            out = np.maximum(out, np.asarray(covs))
         return out[:A]
 
     def window_verdict_dispatch(self, windows, gate_min: np.ndarray,
