@@ -25,3 +25,59 @@ Design (see SURVEY.md for the reference analysis):
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator():
+    """Keep large numpy buffers in the heap instead of mmap/munmap churn.
+
+    glibc serves multi-MB allocations with fresh mmaps and returns them on
+    free; in sandboxed environments first-touch page faults on those can
+    cost ~100x normal (observed: a [8k, 990] int32 pipeline spending 26 s
+    on faults vs 0.5 s of compute).  Raising the mmap/trim thresholds
+    makes freed blocks stay resident so steady-state batch code runs at
+    memory speed.  Best-effort: silently skipped off glibc."""
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+def _prefault_arena():
+    """Populate a scratch arena once so batch pipelines never pay
+    first-touch faults mid-run.
+
+    User-space first-touch in this class of sandbox costs ~180 ms/MB
+    (measured: 45 s for 256 MB), but the kernel populate path is ~500x
+    faster — ``mlock`` faults the pages in-kernel in ~0.1 s/256 MB.  With
+    the raised trim threshold the pages stay in the heap after free, so
+    subsequent large numpy buffers land on resident memory.  Size via
+    DOWNPORE_PREFAULT_MB (default 768; 0 disables)."""
+    import os
+    try:
+        mb = int(os.environ.get("DOWNPORE_PREFAULT_MB", "768"))
+    except ValueError:
+        mb = 768
+    if mb <= 0:
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.malloc.restype = ctypes.c_void_p
+        n = mb << 20
+        p = libc.malloc(n)
+        if p:
+            if libc.mlock(ctypes.c_void_p(p), n) == 0:
+                libc.munlock(ctypes.c_void_p(p), n)
+            else:  # mlock refused (rlimit): fall back to touching
+                ctypes.memset(p, 0, n)
+            libc.free(ctypes.c_void_p(p))
+    except Exception:
+        pass
+
+
+_tune_allocator()
+_prefault_arena()

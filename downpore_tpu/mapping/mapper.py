@@ -26,6 +26,18 @@ from ..core.sequence import Sequence
 from ..seeds import SeedIndex, SeedSequence
 
 
+class _LightQ:
+    """Per-query-window metadata for the candidate walk (the full
+    SeedSequence is no longer materialized on host — feature extraction
+    is batch-vectorized in MapEngine.pack_query_windows)."""
+    __slots__ = ("length", "offset", "inset")
+
+    def __init__(self, length, offset, inset):
+        self.length = length
+        self.offset = offset
+        self.inset = inset
+
+
 class Mapping:
     """One mapped region (ref: mapping/mapping.go:11-20)."""
     __slots__ = ("query", "start", "end", "query_offset", "query_inset",
@@ -100,36 +112,55 @@ class Mapper:
     def perform_mapping_batch(self, queries: List[Sequence]) -> List[List[Mapping]]:
         """The reference's performMapping (mapping.go:489-611) over a batch
         of query windows: retrieval matmul, popcount gate, chain DP,
-        adaptive thresholds, duplicate removal."""
+        adaptive thresholds, duplicate removal.
+
+        Feature extraction (seeds, run buckets) runs batch-vectorized in
+        ``MapEngine.pack_query_windows`` — one numpy pass over all
+        windows + RC twins instead of per-query ``new_seed_sequence``
+        loops (which were the single largest map cost in round-1
+        profiles)."""
         if not queries:
             return []
-        k = self.k
-        seed_queries = []
-        metas = []  # (query_index, is_rc, SeedSequence)
-        for qi, q in enumerate(queries):
-            sq = self.index.new_seed_sequence(q)
-            rq = self.index.new_seed_sequence(q.reverse_complement())
-            seed_queries.append(sq)
-            metas.append((qi, False, sq))
-            seed_queries.append(rq)
-            metas.append((qi, True, rq))
-        base_min = np.array([max(5, sq.num_seeds // 5)
-                             for sq in seed_queries], np.int32)
-        per_meta = self.engine.query(seed_queries, base_min)
+        # chunked dispatch-ahead pipeline: pack chunk i+1 on host while
+        # the device crunches chunk i (pack and compute are each ~half
+        # the stage, so the overlap nearly halves wall-clock)
+        CHUNK = 2048
+        inflight = []
         results: List[List[Mapping]] = [[] for _ in queries]
-        if not per_meta:
-            return results
+        for lo in range(0, len(queries), CHUNK):
+            sub = queries[lo : lo + CHUNK]
+            packed = self.engine.pack_query_windows(sub)
+            num_seeds = packed[6]
+            base_min = np.maximum(5, num_seeds // 5).astype(np.int32)
+            futs = self.engine.dispatch_packed(packed, base_min)
+            inflight.append((lo, sub, num_seeds, futs))
+        for lo, sub, num_seeds, futs in inflight:
+            self._walk_candidates(sub, num_seeds,
+                                  self.engine.collect(futs), results, lo)
+        return results
 
-        # walk pairs grouped by query seq, applying the adaptive thresholds
-        # in candidate order (ref: mapping.go:494-589)
+    def _walk_candidates(self, queries, num_seeds, per_meta, results,
+                         base: int):
+        """Adaptive-threshold candidate walk for one packed chunk
+        (ref: mapping.go:494-589).  ``results[base + qi]`` receives each
+        query's mappings."""
+        if not per_meta:
+            return
+        k = self.k
+        # lightweight per-row query metadata; RC rows swap offset/inset
+        # (Sequence.reverse_complement semantics)
+        metas = []
+        for q in queries:
+            metas.append(_LightQ(len(q), q.offset, q.inset))
+            metas.append(_LightQ(len(q), q.inset, q.offset))
+
         for qi in range(len(queries)):
             fw_mi, rc_mi = 2 * qi, 2 * qi + 1
-            sq, rq = metas[fw_mi][2], metas[rc_mi][2]
-            min_matches = max(5, sq.num_seeds // 5)
-            min_rc = max(5, rq.num_seeds // 5)
+            min_matches = max(5, int(num_seeds[fw_mi]) // 5)
+            min_rc = max(5, int(num_seeds[rc_mi]) // 5)
             res: List[Mapping] = []
             for mi, is_rc in ((fw_mi, False), (rc_mi, True)):
-                seed_q = metas[mi][2]
+                seed_q = metas[mi]
                 for ci, dcount, summ in per_meta[mi]:
                     cur_min = min_rc if is_rc else min_matches
                     # popcount gate on distinct shared seeds
@@ -148,11 +179,9 @@ class Mapper:
                             min_matches = limit
                         if limit > min_rc:
                             min_rc = limit
-            res = _dedup_by_position(res)
-            results[qi] = res
-        return results
+            results[base + qi] = _dedup_by_position(res)
 
-    def _extract_chains(self, summ, seed_q: SeedSequence,
+    def _extract_chains(self, summ, seed_q: "_LightQ",
                         chunk: SeedSequence, is_rc: bool, query: Sequence,
                         cur_min: int):
         """Mappings from the top good chains of one pair, one per distinct

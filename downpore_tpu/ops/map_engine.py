@@ -242,6 +242,7 @@ class MapEngine:
 
     def __init__(self, index, k: int, nq: int = 64, nt: int = 256,
                  mesh=None, hit_fraction: float = 0.25):
+        self.index = index
         self.k = k
         self.nq = nq
         self.nt = nt
@@ -299,6 +300,104 @@ class MapEngine:
             index.index_sequences()
         self.usable = np.asarray(index._seed_counts) < max(1, C)
 
+    # -- batch-vectorized window packing --------------------------------
+    _NQS = 192  # seed-scan width: run-collapse is exact for windows with
+    # up to this many seeds (1-3 kb map windows carry ~25-75 at the
+    # default seed rate); beyond it num_sets undercounts, which only
+    # LOWERS min_count — recall-safe, the chain DP is the filter
+
+    def pack_query_windows(self, windows: List) -> tuple:
+        """Vectorized twin of ``pack_queries`` for plain sequence windows
+        (the mapper's case): one numpy pass over the whole batch replaces
+        per-window ``new_seed_sequence`` + ``pack_queries`` Python loops
+        (~1.2 s/16k queries, the dominant map cost in round-1 profiles).
+
+        Forward and reverse-complement rows interleave ([2i] = fw of
+        window i, [2i+1] = rc), matching the (sq, rq) order the mapper's
+        candidate walk expects.  Returns the ``pack_queries`` 6-tuple
+        (q_seeds, q_pos, q_rb, q_db, num_sets, q_len) plus ``num_seeds``
+        (exact per-row extracted-seed counts for the adaptive min-match
+        rules, ref: mapping/mapping.go:497-505)."""
+        index = self.index
+        k = self.k
+        nq = self.nq
+        M = len(windows)
+        lens_b = np.array([len(w) for w in windows], np.int64)
+        L = max(int(lens_b.max()) if M else k, k)
+        W = L - k + 1
+        # interleave forward/RC code rows during the fill (RC is the
+        # reversed complement slice, complement of a 2-bit code = ^3) so
+        # ONE rolling-kmer pass covers both orientations
+        codes = np.zeros((2 * M, L), np.uint8)
+        for i, w in enumerate(windows):
+            n = lens_b[i]
+            codes[2 * i, :n] = w.codes
+            codes[2 * i + 1, :n] = w.codes[::-1]
+            codes[2 * i + 1, :n] ^= 3
+        lens_k = np.maximum(0, lens_b - k + 1)
+        km2 = np.zeros((2 * M, W), np.int32)
+        for j in range(k):
+            km2 <<= 2
+            km2 |= codes[:, j : j + W]
+        cols = np.arange(W)[None, :]
+        lens2 = np.repeat(lens_k, 2)
+        q_len = np.repeat(lens_b, 2).astype(np.int32)
+        valid = cols < lens2[:, None]
+        flag = valid & index.kmer_table[km2]
+        num_seeds = flag.sum(1).astype(np.int64)
+
+        # compact the first _NQS flagged positions per row (order kept)
+        NQS = self._NQS
+        dest = np.cumsum(flag, axis=1, dtype=np.int32) - 1
+        rows, colsnz = np.nonzero(flag & (dest < NQS))
+        d = dest[rows, colsnz]
+        pos_c = np.zeros((2 * M, NQS), np.int32)
+        km_c = np.zeros((2 * M, NQS), np.int32)
+        pos_c[rows, d] = colsnz
+        km_c[rows, d] = km2[rows, colsnz]
+        live_c = np.arange(NQS)[None, :] < np.minimum(num_seeds,
+                                                      NQS)[:, None]
+        seeds_c = np.where(live_c, index.kmer_map[km_c], -1)
+
+        q_seeds = seeds_c[:, :nq].astype(np.int32)
+        q_pos = np.where(live_c[:, :nq], pos_c[:, :nq], 0).astype(np.int32)
+
+        # run-collapse over usable seeds (SeedIndex.matches semantics,
+        # ref: seeds/seeds.go:335-353): drop unusable, collapse adjacent
+        # duplicates; num_sets = exact run count
+        us = live_c & self.usable[np.clip(seeds_c, 0, None)] & \
+            (seeds_c >= 0)
+        slot = np.arange(NQS)[None, :]
+        idxs = np.where(us, slot, -1)
+        pa = np.maximum.accumulate(idxs, axis=1)
+        prev = np.empty_like(pa)
+        prev[:, 0] = -1
+        prev[:, 1:] = pa[:, :-1]
+        pv = np.take_along_axis(seeds_c, np.clip(prev, 0, None), 1)
+        pv = np.where(prev >= 0, pv, -2)
+        run_start = us & (pv != seeds_c)
+        num_sets = run_start.sum(1).astype(np.int32)
+
+        rdest = np.cumsum(run_start, axis=1) - 1
+        rrows, rcols = np.nonzero(run_start & (rdest < nq))
+        rd = rdest[rrows, rcols]
+        run_seeds = np.full((2 * M, nq), -1, np.int64)
+        run_seeds[rrows, rd] = seeds_c[rrows, rcols]
+        rb_live = run_seeds >= 0
+        q_rb = np.where(
+            rb_live,
+            match_ops.hash_ids(np.clip(run_seeds, 0, None),
+                               self.num_seeds, self.H), -1).astype(np.int32)
+        # distinct buckets: row-sorted unique (order is irrelevant to the
+        # retrieval sum; -1 marks dead slots)
+        BIG = 1 << 30
+        srt = np.sort(np.where(q_rb >= 0, q_rb, BIG), axis=1)
+        first = np.empty_like(srt, dtype=bool)
+        first[:, 0] = True
+        first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+        q_db = np.where(first & (srt < BIG), srt, -1).astype(np.int32)
+        return q_seeds, q_pos, q_rb, q_db, num_sets, q_len, num_seeds
+
     # -- host-side query packing ---------------------------------------
     def pack_queries(self, seed_queries: List) -> tuple:
         """Seed sequences -> fixed-shape device inputs.
@@ -345,15 +444,25 @@ class MapEngine:
     def dispatch(self, seed_queries: List, base_min: np.ndarray,
                  pair_budget: int = 0, top_k: int = 4,
                  min_sets: int = 5):
-        M = len(seed_queries)
+        if len(seed_queries) == 0 or self.C == 0:
+            return (0, None, None, None)
+        return self.dispatch_packed(self.pack_queries(seed_queries),
+                                    base_min, pair_budget, top_k, min_sets)
+
+    def dispatch_packed(self, packed: tuple, base_min: np.ndarray,
+                        pair_budget: int = 0, top_k: int = 4,
+                        min_sets: int = 5):
+        """Enqueue the fused pipeline on a prepacked query-feature tuple
+        (``pack_queries`` or the vectorized ``pack_query_windows``)."""
+        q_seeds, q_pos, q_rb, q_db, num_sets, q_len = packed[:6]
+        M = q_seeds.shape[0]
         if M == 0 or self.C == 0:
             return (0, None, None, None)
-        q_seeds, q_pos, q_rb, q_db, num_sets, q_len = \
-            self.pack_queries(seed_queries)
         # min_count per Matches: round(hit_fraction * num_sets); queries
         # with too few usable seeds get no candidates (min_count = 0
         # never passes the > 0 check)
-        min_count = (self.hit_fraction * num_sets + 0.5).astype(np.int64)
+        min_count = (self.hit_fraction * num_sets.astype(np.int64)
+                     + 0.5).astype(np.int64)
         min_count[num_sets < min_sets] = 0
         MB = _bucket(M)
         if self.mesh is not None:
