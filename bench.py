@@ -292,11 +292,13 @@ def bench_consensus():
 
     jobs = [job_kmers() for _ in range(n_jobs)]
     table = SimpleMeasure(k).pair_table()
-    consensus_kmers_bulk(jobs[:4], table, k)     # warmup compiles
+    # simple_k engages the arithmetic distance (the production path for
+    # the default SimpleMeasure; consensus/consensus.py:153-156)
+    consensus_kmers_bulk(jobs[:4], table, k, simple_k=k)  # warmup compiles
     elapsed = None
     for _ in range(2):
         t1 = time.time()
-        outs = consensus_kmers_bulk(jobs, table, k)
+        outs = consensus_kmers_bulk(jobs, table, k, simple_k=k)
         dt = time.time() - t1
         elapsed = dt if elapsed is None else min(elapsed, dt)
     total_bases = sum(len(o) + k - 1 for o in outs if len(o))

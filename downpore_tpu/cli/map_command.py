@@ -57,7 +57,9 @@ class MapCommand(Command):
                               min_length=parse_int(args["min_length"]))
         mapped = multiple = unmapped = total = 0
         batch = []
-        batch_size = 64
+        batch_size = 2048  # big batches keep the device fed (the
+        # reference streams per-read through a worker pool; ours amortizes
+        # dispatch latency across reads)
 
         def flush(batch):
             nonlocal mapped, multiple, unmapped, total

@@ -126,21 +126,25 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         kmer = state["kmer"]
         shifted = (kmer << 2) & mask
         nextk = shifted[:, None] | jnp.arange(4)[None, :]      # [B, 4]
-        pos = state["positions"][:, None, :] + 1               # [B, 1, N]
-        pos = jnp.broadcast_to(pos, (beam, 4, N))
-        # window sequence kmers: [B, 4, N, W]
-        widx = pos[..., None] - centre + jnp.arange(W)
-        inb = (widx >= 0) & (widx < lens[None, None, :, None])
+        pos2 = state["positions"] + 1                          # [B, N]
+        # window sequence kmers depend only on the beam state, not the
+        # branch: gather ONCE per (state, member) — 4x less window work
+        # than the per-branch form
+        widx = pos2[..., None] - centre + jnp.arange(W)        # [B, N, W]
+        inb = (widx >= 0) & (widx < lens[None, :, None])
         km_at = jnp.take_along_axis(
-            jnp.broadcast_to(seq_kmers, (beam, 4, N, L)),
-            jnp.clip(widx, 0, L - 1), axis=3)
+            jnp.broadcast_to(seq_kmers, (beam, N, L)),
+            jnp.clip(widx, 0, L - 1), axis=2)                  # [B, N, W]
+        km_bad = ~(inb & (km_at >= 0))
+        km_c = jnp.clip(km_at, 0)
         if simple_k:
             ds = _simple_distance(nextk[:, :, None, None],
-                                  jnp.clip(km_at, 0), simple_k)
+                                  km_c[:, None], simple_k)
         else:
             ds = table[nextk[:, :, None, None],
-                       jnp.clip(km_at, 0)].astype(jnp.int32)
-        ds = jnp.where(inb & (km_at >= 0), ds, BIG // 64)
+                       km_c[:, None]].astype(jnp.int32)
+        ds = jnp.where(km_bad[:, None], BIG // 64, ds)
+        pos = jnp.broadcast_to(pos2[:, None, :], (beam, 4, N))
         poffs = jnp.broadcast_to(state["offsets"][:, None], (beam, 4, N, W))
         out, m = _band_update(poffs, ds, threshold)              # [B,4,N,W], [B,4,N]
         # padded (zero-length) members contribute nothing — lets the
