@@ -88,6 +88,28 @@ def _simple_distance(a, b, k: int):
     return cost
 
 
+def _barrel_shift(x, shift, fill):
+    """x[..., w] -> x[..., w - shift] along the last (W) axis, vacated
+    lanes = fill.  A dynamic per-row gather lowers to XLA gather — the
+    single most expensive op on TPU in this kernel (~3 ms/step measured);
+    six static rolls + selects do the same work on the VPU for ~nothing.
+
+    shift broadcasts over all but the last axis; |shift| may reach W."""
+    W = x.shape[-1]
+    lane = jnp.arange(W)
+    # wrap-around barrel roll right by `shift` (mod 2W to keep sign sane)
+    u = jnp.mod(shift, 2 * W)[..., None]                  # [..., 1]
+    y = jnp.concatenate([x, jnp.full_like(x, fill)], axis=-1)  # [..., 2W]
+    bit = 1
+    while bit < 2 * W:
+        rolled = jnp.roll(y, bit, axis=-1)
+        y = jnp.where((u & bit) != 0, rolled, y)
+        bit <<= 1
+    y = y[..., :W]
+    src = lane - shift[..., None]
+    return jnp.where((src < 0) | (src >= W), fill, y)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "beam", "t_max", "threshold",
                                     "gap_cost", "simple_k"))
@@ -98,15 +120,26 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
     """One consensus job on device.
 
     seq_kmers: [N, L] int32 (pad -1); lens: [N]; table: [4^k, 4^k] uint16
-    distance table; first_kmer: starting k-mer.  Returns
-    (kmers [t_max, beam], parents [t_max, beam], costs [beam],
-    finished_at [beam]) for host traceback.
+    distance table; first_kmer: starting k-mer.  Returns the traced-back
+    consensus chain ([t_max] int32, -1-padded) and its valid length.
     """
     N, L = seq_kmers.shape
     W = 32
     centre = W // 2
     mask = (1 << (2 * k)) - 1
     INIT = 8  # initialOffset (ref: alignment.go:15)
+
+    # Sliding-window matrix for gather-free window fetch: the per-step
+    # jnp.take_along_axis over [B, N, W] lowered to an XLA gather that
+    # cost ~3 ms/step on TPU (half the kernel); a one-hot position times
+    # this matrix does the same fetch on the MXU.  windmat[n, p, w] =
+    # seq_kmers[n, p - W + w] with -1 outside [0, len).
+    PAD = W
+    P0 = L + W
+    padded = jnp.full((N, L + 2 * W), -1, jnp.int32)
+    padded = jax.lax.dynamic_update_slice(padded, seq_kmers, (0, PAD))
+    windmat = jnp.stack([padded[:, w:w + P0] for w in range(W)],
+                        axis=-1).astype(jnp.float32)       # [N, P0, W]
 
     # initial state: all beams identical, one live
     offsets0 = jnp.full((N, W), gap_cost, jnp.int32)
@@ -128,14 +161,19 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         nextk = shifted[:, None] | jnp.arange(4)[None, :]      # [B, 4]
         pos2 = state["positions"] + 1                          # [B, N]
         # window sequence kmers depend only on the beam state, not the
-        # branch: gather ONCE per (state, member) — 4x less window work
-        # than the per-branch form
-        widx = pos2[..., None] - centre + jnp.arange(W)        # [B, N, W]
-        inb = (widx >= 0) & (widx < lens[None, :, None])
-        km_at = jnp.take_along_axis(
-            jnp.broadcast_to(seq_kmers, (beam, N, L)),
-            jnp.clip(widx, 0, L - 1), axis=2)                  # [B, N, W]
-        km_bad = ~(inb & (km_at >= 0))
+        # branch: fetch ONCE per (state, member), via one-hot x windmat
+        # on the MXU (exact: one-hot and kmer values are integers well
+        # inside f32/bf16-split range, so the highest-precision matmul
+        # reproduces the gather bit-for-bit)
+        o = pos2 - centre + PAD                                # [B, N]
+        ov = (o >= 0) & (o < P0)
+        oh = jax.nn.one_hot(o, P0, dtype=jnp.float32)          # [B, N, P0]
+        km_f = jnp.einsum("bnp,npw->bnw", oh, windmat,
+                          precision=jax.lax.Precision.HIGHEST)
+        km_at = jnp.rint(km_f).astype(jnp.int32)               # [B, N, W]
+        # -1 pads mark both out-of-range lanes and beyond-len positions;
+        # an out-of-range one-hot row sums to 0, caught by ~ov
+        km_bad = (km_at < 0) | ~ov[..., None]
         km_c = jnp.clip(km_at, 0)
         if simple_k:
             ds = _simple_distance(nextk[:, :, None, None],
@@ -220,12 +258,7 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         drift = centre - bp
         do = (jnp.abs(drift) > 4) & ~fin[:, None]
         shift = jnp.where(do, drift, 0)
-        lane = jnp.arange(W)
-        src = lane[None, None, :] - shift[:, :, None]
-        shifted_off = jnp.take_along_axis(new_off,
-                                          jnp.clip(src, 0, W - 1), axis=2)
-        shifted_off = jnp.where((src < 0) | (src >= W), FULL, shifted_off)
-        new_off = jnp.where(do[:, :, None], shifted_off, new_off)
+        new_off = _barrel_shift(new_off, shift, jnp.int32(FULL))
         new_pos = new_pos - shift
         # finished: any live member's best lane reaches its end
         best_lane = _argmin_last(new_off, axis=2)
@@ -243,7 +276,34 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
 
     final, (kmers, parents, fin_at, costs) = jax.lax.scan(
         step, state, None, length=t_max)
-    return kmers, parents, fin_at, costs, final["cost"]
+    chain, n_valid = _device_traceback(kmers, parents, fin_at, costs)
+    return chain, n_valid
+
+
+def _device_traceback(kmers, parents, fin_at, costs):
+    """On-device parent walk — fetching the raw (kmers, parents, fin_at,
+    costs) record is ~12 MB per 64-job bucket and dominated bulk-consensus
+    wall clock over the tunnelled link; the walked chain is [t_max] int32.
+
+    Matches the host rule: first step at which any slot finished, cheapest
+    finished slot there (lowest index on ties); if none finish, the
+    cheapest final slot."""
+    T, B = kmers.shape
+    any_fin = jnp.any(fin_at, axis=1)
+    has = jnp.any(any_fin)
+    t_end = jnp.where(has, jnp.argmax(any_fin), T - 1)
+    cost_row = costs[t_end]
+    masked = jnp.where(has & ~fin_at[t_end], BIG, cost_row)
+    b_end = jnp.argmin(masked).astype(jnp.int32)
+
+    def walk(b, t):
+        b = jnp.where(t == t_end, b_end, b)
+        km = jnp.where(t <= t_end, kmers[t, b], -1)
+        b = jnp.where(t <= t_end, parents[t, b], b)
+        return b, km
+
+    _, rev = jax.lax.scan(walk, b_end, jnp.arange(T - 1, -1, -1))
+    return jnp.flip(rev, 0), t_end + 1
 
 
 def _pad_job(seq_kmers_list, N: int, L: int):
@@ -259,50 +319,26 @@ def _pad_job(seq_kmers_list, N: int, L: int):
     return seq, lens, first
 
 
-def _traceback(kmers, parents, fin_at, costs, first: int) -> np.ndarray:
-    """First step at which any beam slot finished, cheapest such slot,
-    then walk the recorded parent pointers back to step 0."""
-    t_end, b_end = None, None
-    best_cost = None
-    for t in range(kmers.shape[0]):
-        done = np.flatnonzero(fin_at[t])
-        if done.size:
-            c = costs[t][done]
-            j = done[np.argmin(c)]
-            if best_cost is None or c.min() < best_cost:
-                best_cost = c.min()
-                t_end, b_end = t, int(j)
-            break
-    if t_end is None:
-        t_end = kmers.shape[0] - 1
-        b_end = int(np.argmin(costs[-1]))
-    out = [first]
-    t, b = t_end, b_end
-    chain = []
-    while t >= 0:
-        chain.append(int(kmers[t, b]))
-        b = int(parents[t, b])
-        t -= 1
-    chain.reverse()
-    return np.array(out + chain, dtype=np.int32)
+def _assemble(chain: np.ndarray, n: int, first: int) -> np.ndarray:
+    return np.concatenate(([np.int32(first)],
+                           np.asarray(chain[:n], np.int32)))
 
 
 def consensus_kmers(seq_kmers_list: List[np.ndarray], table: np.ndarray,
                     k: int, beam: int = 16, threshold: int = 300,
                     gap_cost: int = 8, simple_k: int = 0) -> np.ndarray:
-    """Host wrapper: pad one job, run the device beam, trace back the
-    cheapest finished state.  Returns the consensus k-mer array."""
+    """Host wrapper: pad one job, run the device beam + traceback.
+    Returns the consensus k-mer array."""
     N = len(seq_kmers_list)
     L = max(len(s) for s in seq_kmers_list)
     seq, lens, first = _pad_job(seq_kmers_list, N, L)
     t_max = int(L * 1.3) + 32
     t_max = ((t_max + 31) // 32) * 32
-    kmers, parents, fin_at, costs, final_cost = device_consensus(
+    chain, n = jax.device_get(device_consensus(
         seq, lens, np.asarray(table, np.uint16), first, k=k, beam=beam,
         t_max=t_max, threshold=threshold, gap_cost=gap_cost,
-        simple_k=simple_k)
-    return _traceback(np.asarray(kmers), np.asarray(parents),
-                      np.asarray(fin_at), np.asarray(costs), first)
+        simple_k=simple_k))
+    return _assemble(chain, int(n), first)
 
 
 @functools.partial(jax.jit,
@@ -347,12 +383,9 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
             seqs[i], lens[i], firsts[i] = _pad_job(job, N, L)
         t_max = int(L * 1.3) + 32
         t_max = ((t_max + 31) // 32) * 32
-        kmers, parents, fin_at, costs, _ = _device_consensus_vmapped(
+        chains, ns = jax.device_get(_device_consensus_vmapped(
             seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost,
-            simple_k)
-        kmers, parents = np.asarray(kmers), np.asarray(parents)
-        fin_at, costs = np.asarray(fin_at), np.asarray(costs)
+            simple_k))
         for i, (ji, _) in enumerate(entries):
-            results[ji] = _traceback(kmers[i], parents[i], fin_at[i],
-                                     costs[i], int(firsts[i]))
+            results[ji] = _assemble(chains[i], int(ns[i]), int(firsts[i]))
     return results
