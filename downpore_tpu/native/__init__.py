@@ -43,7 +43,7 @@ def load() -> Optional[ctypes.CDLL]:
                 or os.path.getmtime(lib) < os.path.getmtime(src)):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 src, "-o", lib],
+                 "-pthread", src, "-o", lib],
                 check=True, capture_output=True, timeout=120)
         L = ctypes.CDLL(lib)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -60,6 +60,11 @@ def load() -> Optional[ctypes.CDLL]:
         L.index_fastq.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                   i64p, i64p, i64p, i64p, i64p]
         L.index_fastq.restype = ctypes.c_int64
+        L.pack_windows.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p,
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
+            i32p, i64p, ctypes.c_int32]
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -100,6 +105,44 @@ def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
     g[:cnt] = gaps[:cnt]
     g[cnt] = gaps[cnt]
     return g, kmers[:cnt].copy()
+
+
+def pack_windows(codes: np.ndarray, off: np.ndarray, lens: np.ndarray,
+                 k: int, nq: int, nqs: int, kmer_table: np.ndarray,
+                 kmer_map: np.ndarray, usable: np.ndarray,
+                 num_seed_ids: int, H: int):
+    """Batched window packing (fw+rc rows) in one native pass; returns
+    (q_seeds, q_pos, q_rb, q_db, num_sets, num_seeds) or None.  Outputs
+    are freshly allocated (the package-level mallopt tuning makes these
+    heap-arena reuses, not mmap faults) since callers hold them across
+    dispatch-ahead windows."""
+    L = load()
+    if L is None or not hasattr(L, "pack_windows"):
+        return None
+    m = len(lens)
+    rows = 2 * m
+    q_seeds = np.empty((rows, nq), np.int32)
+    q_pos = np.empty((rows, nq), np.int32)
+    q_rb = np.empty((rows, nq), np.int32)
+    q_db = np.empty((rows, nq), np.int32)
+    num_sets = np.empty(rows, np.int32)
+    num_seeds = np.empty(rows, np.int64)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    off = np.ascontiguousarray(off, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    kmer_table = np.ascontiguousarray(kmer_table, dtype=np.uint8)
+    kmer_map = np.ascontiguousarray(kmer_map, dtype=np.int32)
+    usable = np.ascontiguousarray(usable, dtype=np.uint8)
+    nt = min(os.cpu_count() or 1, 16)
+    L.pack_windows(
+        _ptr(codes, ctypes.c_uint8), _ptr(off, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), m, k, nq, nqs,
+        _ptr(kmer_table, ctypes.c_uint8), _ptr(kmer_map, ctypes.c_int32),
+        _ptr(usable, ctypes.c_uint8), num_seed_ids, H,
+        _ptr(q_seeds, ctypes.c_int32), _ptr(q_pos, ctypes.c_int32),
+        _ptr(q_rb, ctypes.c_int32), _ptr(q_db, ctypes.c_int32),
+        _ptr(num_sets, ctypes.c_int32), _ptr(num_seeds, ctypes.c_int64), nt)
+    return q_seeds, q_pos, q_rb, q_db, num_sets, num_seeds
 
 
 def index_fastq(buf: bytes):

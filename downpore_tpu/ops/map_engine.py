@@ -306,6 +306,29 @@ class MapEngine:
     # default seed rate); beyond it num_sets undercounts, which only
     # LOWERS min_count — recall-safe, the chain DP is the filter
 
+    def _pack_windows_native(self, windows: List, lens_b: np.ndarray):
+        """One-pass native packer (native/seqscan.cpp pack_windows):
+        same outputs as the numpy pipeline below, ~10x less host time and
+        no [2M, W] intermediates.  None when the toolchain is absent."""
+        from .. import native
+        if native.load() is None or not len(windows):
+            return None
+        tabs = getattr(self, "_nat_tables", None)
+        if tabs is None:
+            tabs = (np.ascontiguousarray(self.index.kmer_table, np.uint8),
+                    np.ascontiguousarray(self.index.kmer_map, np.int32),
+                    np.ascontiguousarray(self.usable, np.uint8))
+            self._nat_tables = tabs
+        kt, km, us = tabs
+        off = np.zeros(len(windows), np.int64)
+        np.cumsum(lens_b[:-1], out=off[1:])
+        codes = np.empty(int(lens_b.sum()), np.uint8)
+        for i, w in enumerate(windows):
+            codes[off[i] : off[i] + lens_b[i]] = w.codes
+        return native.pack_windows(codes, off, lens_b, self.k, self.nq,
+                                   self._NQS, kt, km, us, self.num_seeds,
+                                   self.H)
+
     def pack_query_windows(self, windows: List) -> tuple:
         """Vectorized twin of ``pack_queries`` for plain sequence windows
         (the mapper's case): one numpy pass over the whole batch replaces
@@ -323,6 +346,14 @@ class MapEngine:
         nq = self.nq
         M = len(windows)
         lens_b = np.array([len(w) for w in windows], np.int64)
+
+        native_out = self._pack_windows_native(windows, lens_b)
+        if native_out is not None:
+            q_seeds, q_pos, q_rb, q_db, num_sets, num_seeds = native_out
+            q_len = np.repeat(lens_b, 2).astype(np.int32)
+            return (q_seeds, q_pos, q_rb, q_db, num_sets, q_len,
+                    num_seeds)
+
         L = max(int(lens_b.max()) if M else k, k)
         W = L - k + 1
         # interleave forward/RC code rows during the fill (RC is the

@@ -129,4 +129,144 @@ int64_t index_fastq(const uint8_t* buf, int64_t n, int64_t max_records,
     return rec;
 }
 
+// Batched query-window packing for the map/overlap engines — the exact
+// semantics of MapEngine.pack_query_windows' numpy pipeline (flag seeds
+// via the kmer table, keep the first `nqs` in order, run-collapse usable
+// seeds per SeedIndex.matches, hash to buckets, emit sorted distinct
+// buckets), fused into one pass per row so no [2M, W] intermediates are
+// materialised (the numpy version's ~65 MB cumsum/nonzero arrays were the
+// map pipeline's dominant host cost).  Row 2i = forward window i, row
+// 2i+1 = its reverse complement (complement of a 2-bit code is ^3).
+static void pack_rows(const uint8_t* codes, const int64_t* off,
+                      const int64_t* lens, int32_t k, int32_t nq,
+                      int32_t nqs, const uint8_t* kmer_table,
+                      const int32_t* kmer_map, const uint8_t* usable,
+                      int64_t num_seed_ids, int64_t H,
+                      int32_t* q_seeds, int32_t* q_pos, int32_t* q_rb,
+                      int32_t* q_db, int32_t* num_sets,
+                      int64_t* num_seeds_out,
+                      int64_t row_lo, int64_t row_hi,
+                      int32_t* seed_buf, int32_t* pos_buf,
+                      int64_t* hash_buf) {
+    const uint32_t mask = (k >= 16) ? 0xFFFFFFFFu
+                                    : ((1u << (2 * k)) - 1u);
+    for (int64_t r = row_lo; r < row_hi; r++) {
+        const int64_t w = r >> 1;
+        const bool rc = (r & 1) != 0;
+        const uint8_t* c = codes + off[w];
+        const int64_t n = lens[w];
+        int32_t* qs = q_seeds + r * nq;
+        int32_t* qp = q_pos + r * nq;
+        int32_t* qrb = q_rb + r * nq;
+        int32_t* qdb = q_db + r * nq;
+        for (int32_t j = 0; j < nq; j++) {
+            qs[j] = -1; qp[j] = 0; qrb[j] = -1; qdb[j] = -1;
+        }
+        num_sets[r] = 0;
+        num_seeds_out[r] = 0;
+        if (n < k) continue;
+        // rolling k-mers; collect first nqs table hits in order
+        uint32_t v = 0;
+        int32_t kept = 0;
+        int64_t total = 0;
+        for (int64_t j = 0; j < n; j++) {
+            const uint8_t b = rc ? (uint8_t)(c[n - 1 - j] ^ 3) : c[j];
+            v = ((v << 2) | b) & mask;
+            if (j < k - 1) continue;
+            if (kmer_table[v]) {
+                total++;
+                if (kept < nqs) {
+                    seed_buf[kept] = kmer_map[v];
+                    pos_buf[kept] = (int32_t)(j - (k - 1));
+                    kept++;
+                }
+            }
+        }
+        num_seeds_out[r] = total;
+        const int32_t m0 = kept < nq ? kept : nq;
+        for (int32_t j = 0; j < m0; j++) { qs[j] = seed_buf[j];
+                                           qp[j] = pos_buf[j]; }
+        // run-collapse over usable seeds (within the first nqs, matching
+        // the vectorized twin; ref: seeds/seeds.go:335-353)
+        int32_t runs = 0;
+        int32_t prev = -2;
+        int32_t stored = 0;
+        for (int32_t j = 0; j < kept; j++) {
+            const int32_t s = seed_buf[j];
+            if (!usable[s]) continue;
+            if (s != prev) {
+                runs++;
+                if (stored < nq) {
+                    int64_t hv = s;
+                    if (num_seed_ids > H)
+                        hv = (int64_t)(((uint64_t)(uint32_t)s
+                                        * 2654435761ull) % (uint64_t)H);
+                    hash_buf[stored] = hv;
+                    qrb[stored] = (int32_t)hv;
+                    stored++;
+                }
+            }
+            prev = s;
+        }
+        num_sets[r] = runs;
+        // sorted distinct buckets, replicated layout of the numpy twin:
+        // values sit at their sorted rank; duplicate/dead slots are -1
+        for (int32_t a = 1; a < stored; a++) {  // insertion sort (nq<=256)
+            const int64_t key = hash_buf[a];
+            int32_t b2 = a - 1;
+            while (b2 >= 0 && hash_buf[b2] > key) {
+                hash_buf[b2 + 1] = hash_buf[b2]; b2--;
+            }
+            hash_buf[b2 + 1] = key;
+        }
+        for (int32_t a = 0; a < stored; a++)
+            if (a == 0 || hash_buf[a] != hash_buf[a - 1])
+                qdb[a] = (int32_t)hash_buf[a];
+    }
+}
+
+void pack_windows(const uint8_t* codes, const int64_t* off,
+                  const int64_t* lens, int64_t m, int32_t k, int32_t nq,
+                  int32_t nqs, const uint8_t* kmer_table,
+                  const int32_t* kmer_map, const uint8_t* usable,
+                  int64_t num_seed_ids, int64_t H,
+                  int32_t* q_seeds, int32_t* q_pos, int32_t* q_rb,
+                  int32_t* q_db, int32_t* num_sets,
+                  int64_t* num_seeds_out, int32_t n_threads);
+
 }  // extern "C"
+
+#include <thread>
+#include <vector>
+
+extern "C" void pack_windows(const uint8_t* codes, const int64_t* off,
+                             const int64_t* lens, int64_t m, int32_t k,
+                             int32_t nq, int32_t nqs,
+                             const uint8_t* kmer_table,
+                             const int32_t* kmer_map,
+                             const uint8_t* usable,
+                             int64_t num_seed_ids, int64_t H,
+                             int32_t* q_seeds, int32_t* q_pos,
+                             int32_t* q_rb, int32_t* q_db,
+                             int32_t* num_sets, int64_t* num_seeds_out,
+                             int32_t n_threads) {
+    const int64_t rows = 2 * m;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > rows) n_threads = rows > 0 ? (int32_t)rows : 1;
+    std::vector<std::thread> ts;
+    const int64_t step = (rows + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        const int64_t lo = t * step;
+        const int64_t hi = lo + step < rows ? lo + step : rows;
+        if (lo >= hi) break;
+        ts.emplace_back([=]() {
+            std::vector<int32_t> seed_buf(nqs), pos_buf(nqs);
+            std::vector<int64_t> hash_buf(nq);
+            pack_rows(codes, off, lens, k, nq, nqs, kmer_table, kmer_map,
+                      usable, num_seed_ids, H, q_seeds, q_pos, q_rb, q_db,
+                      num_sets, num_seeds_out, lo, hi,
+                      seed_buf.data(), pos_buf.data(), hash_buf.data());
+        });
+    }
+    for (auto& th : ts) th.join();
+}

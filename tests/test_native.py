@@ -49,3 +49,51 @@ def test_native_index_fastq():
 
 def test_native_index_fastq_malformed():
     assert native.index_fastq(b">fasta\nACGT\n") is None
+
+
+def test_native_pack_windows_matches_numpy():
+    """The one-pass native packer and the numpy pipeline in
+    MapEngine.pack_query_windows must agree bit-for-bit (same seeds,
+    positions, run counts, hashed buckets, distinct-bucket layout)."""
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = bases[rng.integers(0, 4, 60_000)].tobytes().decode()
+    ref = Sequence.from_string(genome, id=0, name="g")
+    k = 10
+    values = score_seed_values(kmer_occurrences([ref], k), k)
+    mapper = Mapper(ref, False, k, values, seed_rate=40, edge_size=500,
+                    chunk_size=5000)
+    eng = mapper.engine
+
+    windows = []
+    for i in range(40):
+        p = int(rng.integers(0, 59_000))
+        L = int(rng.integers(200, 1000))
+        s = genome[p : p + L]
+        windows.append(Sequence.from_string(s, id=i))
+    # short/degenerate windows too
+    windows.append(Sequence.from_string("ACGTACG", id=98))
+    windows.append(Sequence.from_string("AAAAAAAAAAAAAAAAAAAAAA", id=99))
+
+    lens_b = np.array([len(w) for w in windows], np.int64)
+    nat = eng._pack_windows_native(windows, lens_b)
+    assert nat is not None
+    try:
+        eng_load = native.load
+        native.load = lambda: None  # force the numpy pipeline
+        ref_out = eng.pack_query_windows(windows)
+    finally:
+        native.load = eng_load
+    names = ["q_seeds", "q_pos", "q_rb", "q_db", "num_sets", "num_seeds"]
+    nat_full = (nat[0], nat[1], nat[2], nat[3], nat[4], nat[5])
+    ref_full = (ref_out[0], ref_out[1], ref_out[2], ref_out[3],
+                ref_out[4], ref_out[6])
+    for name, a, b in zip(names, nat_full, ref_full):
+        np.testing.assert_array_equal(a, b, err_msg=name)
