@@ -67,27 +67,34 @@ def make_anchors_topk(qseeds, qpos, tseeds, tpos, per_seed: int = 2):
     P, NQ = qseeds.shape
     eq = (qseeds[:, :, None] == tseeds[:, None, :]) \
         & (qseeds[:, :, None] >= 0) & (tseeds[:, None, :] >= 0)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 2)
     js = []
     cur = eq
+    # gather-free: the hit flag is any() (== the value at argmax for
+    # bools), and the target position comes through a one-hot reduction
+    # instead of a take_along_axis (XLA gathers are the TPU's slowest op)
     for _ in range(per_seed):
         j = jnp.argmax(cur, axis=2)                      # [P, NQ]
-        hit = jnp.take_along_axis(cur, j[:, :, None], 2)[:, :, 0]
-        js.append((j, hit))
-        cur = cur & (jax.lax.broadcasted_iota(jnp.int32, eq.shape, 2)
-                     != j[:, :, None])
+        hit = jnp.any(cur, axis=2)
+        oh = iota_t == j[:, :, None]
+        tp_j = jnp.sum(jnp.where(oh, tpos[:, None, :], 0), axis=2)
+        js.append((j, hit, tp_j))
+        cur = cur & ~oh
     qi = jnp.broadcast_to(jnp.arange(NQ)[None, :, None],
                           (P, NQ, per_seed))
-    tj = jnp.stack([j for j, _ in js], axis=2)           # [P, NQ, per_seed]
-    valid = jnp.stack([h for _, h in js], axis=2)
+    tj = jnp.stack([j for j, _, _ in js], axis=2)        # [P, NQ, per_seed]
+    valid = jnp.stack([h for _, h, _ in js], axis=2)
+    tp_a = jnp.stack([t for _, _, t in js], axis=2)
     A = NQ * per_seed
     qi = qi.reshape(P, A).astype(jnp.int32)
     tj = tj.reshape(P, A).astype(jnp.int32)
     valid = valid.reshape(P, A)
     qi = jnp.where(valid, qi, -1)
-    qp = jnp.where(valid, jnp.take_along_axis(qpos, jnp.clip(
-        qi, 0), axis=1), 0).astype(jnp.int32)
-    tp = jnp.where(valid, jnp.take_along_axis(tpos, jnp.clip(
-        tj, 0), axis=1), 0).astype(jnp.int32)
+    # qi is the broadcast NQ iota, so the query position is a repeat, not
+    # a gather
+    qp_rep = jnp.repeat(qpos, per_seed, axis=1)          # [P, NQ*per_seed]
+    qp = jnp.where(valid, qp_rep, 0).astype(jnp.int32)
+    tp = jnp.where(valid, tp_a.reshape(P, A), 0).astype(jnp.int32)
     return {"qi": qi, "tj": tj, "qp": qp, "tp": tp, "valid": valid,
             "overflow": jnp.sum(eq, axis=(1, 2)) - jnp.sum(valid, axis=1)}
 
@@ -269,7 +276,11 @@ def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
     is_start = s["is_start"]
     key = jnp.where(is_start, out["cov_q"], -1)
     _, idx = jax.lax.top_k(key, top_k)
-    take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
+    # one-hot reduction instead of take_along_axis (slow XLA gather on
+    # TPU); A is small so the [P, top_k, A] select is VPU noise
+    oh = (jnp.arange(key.shape[1])[None, None, :]
+          == idx[:, :, None])                            # [P, top_k, A]
+    take = lambda arr: jnp.sum(jnp.where(oh, arr[:, None, :], 0), axis=2)
     # one packed int32 array -> a single device->host fetch per slice
     packed = jnp.concatenate([
         best[:, None], ident_cov_q[:, None], earliest[:, None],
