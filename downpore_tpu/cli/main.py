@@ -10,17 +10,28 @@ from .framework import aligned_print, parse_argv
 
 
 def _apply_backend_env():
-    """Honor JAX_PLATFORMS / DOWNPORE_BACKEND for the CLI.
+    """Honor JAX_PLATFORMS / DOWNPORE_BACKEND for the CLI, and turn on
+    the persistent compilation cache.
 
     Site configuration in some images registers a remote TPU platform via
     ``jax.config`` at interpreter start, which beats the JAX_PLATFORMS env
     var and can stall CLI startup for minutes when the device link is
-    busy.  Users asking for a backend explicitly get it."""
+    busy.  Users asking for a backend explicitly get it.
+
+    The persistent cache makes every CLI invocation after the first skip
+    the multi-second XLA compiles of the fused kernels (verified to hit
+    across processes on TPU backends); DOWNPORE_CACHE_DIR overrides the
+    location, an empty value disables it."""
+    import jax
     want = os.environ.get("DOWNPORE_BACKEND") or \
         os.environ.get("JAX_PLATFORMS")
     if want:
-        import jax
         jax.config.update("jax_platforms", want)
+    cache = os.environ.get("DOWNPORE_CACHE_DIR",
+                           os.path.expanduser("~/.cache/downpore_tpu/jax"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 _apply_backend_env()

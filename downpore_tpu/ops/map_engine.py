@@ -566,7 +566,8 @@ class MapEngine:
         args = [self._put_data(a) for a in args]
         if not pair_budget:
             # all-vs-all retrieves more candidates per query than mapping
-            pair_budget = max(8192, 4 * MB)
+            # (~2/query observed; escalation below handles dense rounds)
+            pair_budget = max(4096, 2 * MB)
 
         def call(budget):
             if self.seed_sharded:
@@ -581,14 +582,14 @@ class MapEngine:
                                   self.t_pos, k=self.k, pair_budget=budget,
                                   variant=variant, chain_len=chain_len)
 
-        head, chains, n_ok = call(pair_budget)
-        n = int(n_ok)
+        # one transfer for head+chains+count: three separate fetches cost
+        # three link round trips (~0.15 s each over a tunnelled TPU)
+        head, chains, n = jax.device_get(call(pair_budget))
+        n = int(n)
         while n > pair_budget:
             pair_budget *= 4
-            head, chains, n_ok = call(pair_budget)
-            n = int(n_ok)
-        head = np.asarray(head)
-        chains = np.asarray(chains)
+            head, chains, n = jax.device_get(call(pair_budget))
+            n = int(n)
         out = [[] for _ in range(M)]
         L = chain_len
         for b in range(head.shape[0]):

@@ -355,6 +355,23 @@ def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
+                                              "top_t"))
+def _fused_edge_pair(packed2, lens2, tables2, gm2, cm2, a_seeds2, a_pos2,
+                     a_len2, is_bc2, k: int, W: int, max_anchors: int,
+                     top_t: int = 8):
+    """Front + back edge verdicts in ONE dispatch: the two problems are
+    stacked on a leading axis of 2 and vmapped through
+    ``_fused_edge_verdict``.  Each link round trip costs ~0.1-0.3 s over
+    a tunnelled TPU, so halving the dispatch/fetch count per read batch
+    is worth more than the kernels themselves."""
+    f = lambda p, l, t, g, c, s, pp, al, ib: _fused_edge_verdict(
+        p, l, t, g, c, s, pp, al, ib, k=k, W=W,
+        max_anchors=max_anchors, top_t=top_t, pair_budget=0)
+    return jax.vmap(f)(packed2, lens2, tables2, gm2, cm2, a_seeds2,
+                       a_pos2, a_len2, is_bc2)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
                                               "top_t", "pair_budget"))
 def _fused_enable(packed, lens, km_table, gate_min, chain_min,
                   a_seeds, a_pos, a_len,
@@ -398,18 +415,26 @@ def _fused_enable(packed, lens, km_table, gate_min, chain_min,
 def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
                           a_seeds, a_pos, a_len, mid_threshold,
                           k: int, W: int, max_anchors: int, top_t: int = 8,
-                          top_k: int = 4, pair_budget: int = 16384,
+                          top_k: int = 4, pair_budget: int = 0,
                           det_budget: int = 4096):
-    """Middle pass fully on device: gate + pair compaction + chain + the
-    identity-threshold detection filter (ref findSplit,
-    trim/trim.go:515-591).
+    """Middle pass fully on device: gate + chain + the identity-threshold
+    detection filter (ref findSplit, trim/trim.go:515-591).
+
+    Every (window, top-``top_t`` adapter) pair runs the chain DP — on
+    real adapter sets the gate passes most pairs (the ~100 barcode
+    variants share flanking k-mers, so a window that matches one flank
+    gate-passes the whole family), which made budget-compaction schemes
+    re-run everything.  Instead the full pair grid streams through
+    ``lax.map`` segments of anchors+DP+summary, bounding peak memory to
+    one segment (a monolithic [n*top_t, NA] DP allocated ~3.5 GB and
+    thrashed HBM).  ``pair_budget`` is accepted for call-site
+    compatibility and ignored.
 
     Returns ``[det_budget + 1, 4]`` int32: rows of (window idx, adapter
     idx, start offset in window, identity) for every top chain with
     identity >= ``mid_threshold``; the trailing row holds
-    (gate-passing pair count, detection count, 0, 0) so callers can
-    detect pair- or detection-budget overflow (both rare: interior
-    windows almost never contain adapters)."""
+    (0, detection count, 0, 0) so callers can detect detection-budget
+    overflow (rare: interior windows almost never contain adapters)."""
     from .chain import dp_from_anchors, summarize_scalars
     kmers = _unpack_kmers(packed, k, W)
     n = kmers.shape[0]
@@ -417,44 +442,52 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
                                   chain_min, top_t)
     CHUNK = 4096
     ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
+    SEG = min(32768, ei_p.shape[0])
+    ei_p, ai_p, mm_p = _pad_pairs([ei_p, ai_p, mm_p], [0, 0, _BIGM], SEG)
     PC = ei_p.shape[0]
-    ok_flat = mm_p < _BIGM
-    n_ok = jnp.sum(ok_flat.astype(jnp.int32))
-    if pair_budget and pair_budget < PC:
-        B = ((pair_budget + CHUNK - 1) // CHUNK) * CHUNK
-        sel = jnp.nonzero(ok_flat, size=B, fill_value=PC)[0]
-        live = sel < PC
-        cl = jnp.clip(sel, 0, PC - 1)
-        ei_s = jnp.where(live, ei_p[cl], 0)
-        ai_s = jnp.where(live, ai_p[cl], 0)
-        mm_s = jnp.where(live, mm_p[cl], _BIGM)
-    else:
-        ei_s, ai_s, mm_s = ei_p, ai_p, mm_p
-    anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_s, ai_s)
-    out = dp_from_anchors(anchors, k)
-    alen_s = a_len[ai_s]
-    s = summarize_scalars(out, mm_s, alen_s, k)
-    # top chains per pair -> detection candidates
-    key = jnp.where(s["is_start"], out["cov_q"], -1)
-    _, idx = jax.lax.top_k(key, top_k)
-    take = lambda arr: jnp.take_along_axis(arr, idx, axis=1)
-    tvalid = take(key) >= 0
-    identity = (take(out["cov_q"]) * 100) // jnp.maximum(alen_s[:, None], 1)
-    det = tvalid & (identity >= mid_threshold)
-    start = take(out["start_tp"]) - take(out["start_qp"])
+
+    def seg(args):
+        """Anchors + DP + detection summary for one pair segment."""
+        ei_s, ai_s, mm_s = args
+        anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos,
+                                   ei_s, ai_s, chunk=CHUNK)
+        out = dp_from_anchors(anchors, k)
+        alen_s = a_len[ai_s]
+        s = summarize_scalars(out, mm_s, alen_s, k)
+        # top chains per pair -> detection candidates
+        key = jnp.where(s["is_start"], out["cov_q"], -1)
+        _, idx = jax.lax.top_k(key, top_k)
+        oh = (jnp.arange(key.shape[1])[None, None, :]
+              == idx[:, :, None])                        # [S, top_k, NA]
+        take = lambda arr: jnp.sum(jnp.where(oh, arr[:, None, :], 0),
+                                   axis=2)
+        tvalid = take(key) >= 0
+        identity = (take(out["cov_q"]) * 100) \
+            // jnp.maximum(alen_s[:, None], 1)
+        det = tvalid & (identity >= mid_threshold)
+        start = take(out["start_tp"]) - take(out["start_qp"])
+        return det, start, identity
+
+    NS = PC // SEG
+    det, start, identity = jax.lax.map(
+        seg, (ei_p.reshape(NS, SEG), ai_p.reshape(NS, SEG),
+              mm_p.reshape(NS, SEG)))
+    det = det.reshape(PC, top_k)
+    start = start.reshape(PC, top_k)
+    identity = identity.reshape(PC, top_k)
     n_det = jnp.sum(det.astype(jnp.int32))
     flat = det.reshape(-1)
     didx = jnp.nonzero(flat, size=det_budget, fill_value=flat.shape[0])[0]
     dlive = didx < flat.shape[0]
-    pi = jnp.clip(didx // top_k, 0, ei_s.shape[0] - 1)
+    pi = jnp.clip(didx // top_k, 0, PC - 1)
     ci = didx % top_k
     pick = lambda arr2d: arr2d[pi, ci]
     rows = jnp.stack([
-        jnp.where(dlive, ei_s[pi], -1),
-        jnp.where(dlive, ai_s[pi], 0),
+        jnp.where(dlive, ei_p[pi], -1),
+        jnp.where(dlive, ai_p[pi], 0),
         jnp.where(dlive, pick(start), 0),
         jnp.where(dlive, pick(identity), 0)], axis=1)
-    tail = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(n_ok).at[0, 1].set(n_det)
+    tail = jnp.zeros((1, 4), jnp.int32).at[0, 1].set(n_det)
     return jnp.concatenate([rows, tail], axis=0)
 
 
@@ -486,11 +519,14 @@ class WindowChainEngine:
             rows are already k-mers — comparing in k-mer space removes
             the per-position kmer->seed translation gather (was ~77 ms
             per 16k-window batch on TPU, the hottest op in the trim
-            pipeline)."""
+            pipeline).  Rows are padded to the same 128-multiple as the
+            membership table so top-k adapter indices from the gate can
+            never index out of bounds (and front/back tables stack)."""
             A = len(adapters)
-            seeds = np.full((max(1, A), nq), -1, np.int32)
-            pos = np.zeros((max(1, A), nq), np.int16)
-            alen = np.zeros(max(1, A), np.int32)
+            AP = 128 * ((max(1, A) + 127) // 128)
+            seeds = np.full((AP, nq), -1, np.int32)
+            pos = np.zeros((AP, nq), np.int16)
+            alen = np.zeros(AP, np.int32)
             for i, ad in enumerate(adapters):
                 m = min(ad.num_seeds, nq)
                 seeds[i, :m] = sm[np.asarray(ad.seeds[:m], dtype=np.int64)]
@@ -747,7 +783,7 @@ class WindowChainEngine:
                                 chain_min: np.ndarray, mid_threshold: int,
                                 W: int, top_t: int = 8,
                                 max_anchors: int = 128, batch: int = 16384,
-                                pair_budget: int = 16384,
+                                pair_budget: int = 0,
                                 det_budget: int = 4096):
         """Upload interior windows + enqueue the on-device detection scan
         (front adapters; the middle pass only uses those)."""
@@ -761,7 +797,7 @@ class WindowChainEngine:
                                        mid_threshold: int, W: int,
                                        top_t: int = 8,
                                        max_anchors: int = 128,
-                                       pair_budget: int = 16384,
+                                       pair_budget: int = 0,
                                        det_budget: int = 4096):
         """Enqueue the detection scan over pre-uploaded packed batches:
         ``uploads`` is a list of (packed_dev, lens_dev, n, lo) where

@@ -127,11 +127,18 @@ class Trimmer:
 
     def _engine(self) -> WindowChainEngine:
         if self._engine_obj is None:
+            # anchor width sized to the real adapter set (bundled ONT
+            # adapters have <= 45 seeds) - the chain DP's sequential scan
+            # length is 2*nq, so a tight fit cuts the hot loop directly
+            longest = max((ad.num_seeds for ad in
+                           self.front_adapters + self.back_adapters),
+                          default=1)
+            nq = min(128, max(16, -(-longest // 16) * 16))
             self._engine_obj = WindowChainEngine(
                 self.front_adapters, self.back_adapters,
                 self.front_sets, self.back_sets,
                 self.index.kmer_map, self.index.seed_map, self.k,
-                mesh=self.mesh)
+                nq=nq, mesh=self.mesh)
         return self._engine_obj
 
     # -- edge matching --------------------------------------------------
@@ -291,17 +298,36 @@ class Trimmer:
         if progress.get("middle_done"):
             return
         start_rid = int(progress.get("next_rid", 0))
+        # without a checkpoint the middle pass streams straight off each
+        # finished edge batch (trims applied via zero-copy subsequence):
+        # the file is read ONCE and middle-window device batches pipeline
+        # behind the edge pass.  Checkpointed runs keep the re-reading
+        # two-pass flow, whose stage boundaries are the resume points.
+        stream = None if checkpoint else self._mid_stream(seqs)
+
+        def feed_stream(batch_seqs):
+            for s in batch_seqs:
+                rid = s.id
+                if seqs.ignore[rid]:
+                    continue
+                df = seqs.get_front_trim(rid)
+                db = seqs.get_back_trim(rid)
+                stream.add(s.subsequence(df, len(s) - db))
+
         if not progress.get("edges_done"):
             self._log("Trimming ends and indexing all sequences against",
                       len(self.front_adapters), "adapters...")
-            pending = deque()   # (state, last_rid)
+            pending = deque()   # (state, batch reads)
             batch: List[Sequence] = []
 
             def finish_one():
-                state, last_rid = pending.popleft()
+                state, batch_seqs = pending.popleft()
                 self._finish_edge_batch(seqs, state)
+                if stream is not None:
+                    feed_stream(batch_seqs)
                 if checkpoint:
-                    seqs.save_state(checkpoint, {"next_rid": last_rid + 1})
+                    seqs.save_state(checkpoint,
+                                    {"next_rid": batch_seqs[-1].id + 1})
 
             n_edge = 0
             for seq in seqs.get_sequences(start=start_rid):
@@ -309,13 +335,12 @@ class Trimmer:
                 n_edge += 1
                 if len(batch) >= batch_size:
                     pending.append((self._dispatch_edge_batch(batch),
-                                    batch[-1].id))
+                                    batch))
                     batch = []
                     if len(pending) > max_inflight:
                         finish_one()
             if batch:
-                pending.append((self._dispatch_edge_batch(batch),
-                                batch[-1].id))
+                pending.append((self._dispatch_edge_batch(batch), batch))
             while pending:
                 finish_one()
             if timer is not None:
@@ -323,8 +348,11 @@ class Trimmer:
             if checkpoint:
                 seqs.save_state(checkpoint, {"edges_done": True})
 
-        # middle pass: chunk interiors into the index and split
-        self._middle_pass(seqs)
+        # middle pass: split reads on interior adapters
+        if stream is not None:
+            stream.finish()
+        else:
+            self._middle_pass(seqs)
         if checkpoint:
             seqs.save_state(checkpoint,
                             {"edges_done": True, "middle_done": True})
@@ -396,122 +424,20 @@ class Trimmer:
                 -(-self.mid_threshold * ad.length // (100 * self.k)))
             for ad in self.front_adapters])
 
-    def _middle_pass(self, seqs, window_batch: int = 16384):
-        """Search read interiors for read-splitting adapters.
+    def _mid_stream(self, seqs, window_batch: Optional[int] = None):
+        """Streaming middle pass (see ``_MidStream``); feed trimmed reads
+        with ``add``, then ``finish``."""
+        return _MidStream(self, seqs, window_batch)
 
-        The reference chunks interiors into the seed index and retrieves
-        candidates per adapter with the soft-union, re-indexing every 300M
-        seeds (ref: trim/trim.go:151-257, 515-591).  The TPU-native shape
-        is uniform 256-base interior windows (any adapter up to
-        LONGEST_ADAPTER bases lies fully inside one window) gated by the
-        same device scan as the edge pass, then batch-chained; the
-        rolling index and re-index rounds disappear.  The split/crop
-        decision logic and thresholds are the reference's.
-
-        Windows are cut as 2-bit packed byte rows straight out of each
-        read's packed code array (starts aligned to 4 bases) — no
-        per-window python objects or copies on the hot path."""
-        from collections import deque
-        splits = {}
-        win = 256
-        CL4 = win // 4
-        k = self.k
-        step = ((win - LONGEST_ADAPTER - k) // 4) * 4
-        lo0 = (EDGE_SIZE // 4) * 4
-        eng = self._engine()
-        W = self.WINDOW - k + 1
-        min_matches = self._mid_min_matches()
-        if len(min_matches) == 0:
-            return
-
-        N_SLOTS = 4
-        bufs = [(np.zeros((window_batch, CL4), np.uint8),
-                 np.zeros(window_batch, np.int32)) for _ in range(N_SLOTS)]
-        slot = 0
-        rows, lens = bufs[slot]
-        metas: List[tuple] = []   # (rid, abs_start, orig_len) per window
-        count = 0
-        detections = []
-        pending = deque()
-
-        def dispatch():
-            nonlocal rows, lens, metas, count, slot
-            if count == 0:
-                return
-            from ..ops.chain import _bucket
-            nb = _bucket(count)
-            if self.mesh is not None:
-                D = self.mesh.shape["data"]
-                nb = ((nb + D - 1) // D) * D
-            nb = min(nb, window_batch)
-            rows[count:nb] = 0
-            lens[count:nb] = 0
-            up = eng.upload_rows(rows[:nb], lens[:nb], count)
-            futs = eng.window_verdict_dispatch_packed(
-                [up + (0,)], min_matches, min_matches,
-                self.mid_threshold, W, pair_budget=16384)
-            pending.append((metas, futs))
-            slot = (slot + 1) % N_SLOTS
-            rows, lens = bufs[slot]
-            metas = []
-            count = 0
-            if len(pending) > 2:
-                collect()
-
-        def collect():
-            ms, futs = pending.popleft()
-            for ei, ai, start, identity in eng.window_verdict_collect(futs):
-                rid, abs_start, orig_len = ms[int(ei)]
-                detections.append((rid, int(ai), abs_start + int(start),
-                                   int(identity), orig_len))
-
+    def _middle_pass(self, seqs, window_batch: Optional[int] = None):
+        """Search read interiors for read-splitting adapters by
+        re-reading the sequence set (the checkpointed two-pass flow;
+        ``trim`` without a checkpoint streams the middle pass off the
+        edge pass instead, saving the second file read)."""
+        stream = self._mid_stream(seqs, window_batch)
         for seq in seqs.get_sequences():
-            n = len(seq)
-            hi = n - EDGE_SIZE
-            if hi - lo0 < k + 4:
-                continue
-            last = max(lo0, ((hi - win) // 4) * 4)
-            starts = list(range(lo0, last + 1, step))
-            if starts[-1] < last:
-                starts.append(last)
-            codes = seq.codes
-            npad = ((n + 3) // 4) * 4
-            need = (starts[-1] // 4) + CL4
-            c = np.zeros(max(npad, need * 4), np.uint8)
-            c[:n] = codes
-            pr = (c[0::4] << 6) | (c[1::4] << 4) | (c[2::4] << 2) | c[3::4]
-            idx = np.asarray(starts, np.int64) // 4
-            sw = np.lib.stride_tricks.sliding_window_view(pr, CL4)
-            block = sw[idx]
-            wl = np.minimum(win, hi - np.asarray(starts)) - k + 1
-            orig_len = n + seq.offset + seq.inset
-            pos = 0
-            while pos < len(starts):
-                take = min(len(starts) - pos, window_batch - count)
-                rows[count : count + take] = block[pos : pos + take]
-                lens[count : count + take] = wl[pos : pos + take]
-                for j in range(pos, pos + take):
-                    metas.append((seq.id, seq.offset + starts[j], orig_len))
-                count += take
-                pos += take
-                if count >= window_batch:
-                    dispatch()
-        dispatch()
-        while pending:
-            collect()
-        # dedupe repeated detections of one occurrence across overlapping
-        # windows: same read+adapter within 30 bases keeps best identity
-        best = {}
-        for rid, ai, start, identity, orig_len in detections:
-            key = (rid, ai, start // 30)
-            cur = best.get(key)
-            if cur is None or identity > cur[3]:
-                best[key] = (rid, ai, start, identity, orig_len)
-        for rid, ai, start, identity, orig_len in sorted(best.values()):
-            self._record_split(seqs, splits, self.front_adapters[ai],
-                               rid, start, orig_len)
-        self._log(len(splits), "sequences require splitting")
-        self._apply_splits(seqs, splits)
+            stream.add(seq)
+        stream.finish()
 
     def _dispatch_windows(self, windows: List[Sequence]):
         """Upload + enqueue one interior-window batch (no fetch).  The
@@ -638,6 +564,162 @@ class Trimmer:
                       self.original_back[i].get_name(), "\t",
                       (count * 100) // seen, "%")
         self._log((self.no_count * 100) // seen, "% with no adapters found.")
+
+
+class _MidStream:
+    """Streaming middle pass: search read interiors for read-splitting
+    adapters.
+
+    The reference chunks interiors into the seed index and retrieves
+    candidates per adapter with the soft-union, re-indexing every 300M
+    seeds (ref: trim/trim.go:151-257, 515-591).  The TPU-native shape is
+    uniform 256-base interior windows (any adapter lies fully inside one
+    window) gated by the same device scan as the edge pass, then
+    batch-chained; the rolling index and re-index rounds disappear.  The
+    split/crop decision logic and thresholds are the reference's.
+
+    Windows are cut as 2-bit packed byte rows straight out of each
+    read's packed code array (starts aligned to 4 bases) — no per-window
+    python objects or copies on the hot path.  Feed (already-trimmed)
+    reads one at a time with ``add``; batches dispatch as the fixed
+    window buffer fills, so device work pipelines behind the caller's
+    own host work (the edge pass, when driven by ``Trimmer.trim``)."""
+
+    def __init__(self, trimmer, seqs, window_batch: Optional[int] = None):
+        from collections import deque
+        from ..ops.chain import _use_fixed_buckets
+        if window_batch is None:
+            # big fixed-shape dispatches amortize the per-call link round
+            # trip (~0.3 s each over a tunnelled TPU, which dominated the
+            # middle pass at 16k windows/dispatch), while staying small
+            # enough that earlier batches compute while the edge pass is
+            # still streaming reads; CPU tests keep a small shape
+            window_batch = 32768 if _use_fixed_buckets() else 16384
+        self.t = trimmer
+        self.seqs = seqs
+        self.window_batch = window_batch
+        self.win = 256
+        self.CL4 = self.win // 4
+        # stride windows so any occurrence of the LONGEST REAL adapter
+        # lies fully inside one window (the reference pads a fixed 100
+        # bases, trim.go:153; sizing to the actual set cuts the window
+        # count ~25% with the bundled <=50-base adapters)
+        pad = min(LONGEST_ADAPTER,
+                  max((ad.length for ad in trimmer.front_adapters),
+                      default=LONGEST_ADAPTER))
+        self.step = ((self.win - pad - trimmer.k) // 4) * 4
+        self.lo0 = (EDGE_SIZE // 4) * 4
+        self.eng = trimmer._engine()
+        self.W = trimmer.WINDOW - trimmer.k + 1
+        self.min_matches = trimmer._mid_min_matches()
+        self.enabled = len(self.min_matches) > 0
+        self._fixed = _use_fixed_buckets()
+
+        N_SLOTS = 4
+        self.bufs = [(np.zeros((window_batch, self.CL4), np.uint8),
+                      np.zeros(window_batch, np.int32))
+                     for _ in range(N_SLOTS)]
+        self.slot = 0
+        self.rows, self.lens = self.bufs[0]
+        self.metas: List[tuple] = []  # (rid, abs_start, orig_len)/window
+        self.count = 0
+        self.detections: List[tuple] = []
+        self.pending = deque()
+
+    def _dispatch(self):
+        if self.count == 0:
+            return
+        from ..ops.chain import _bucket
+        t = self.t
+        nb = self.window_batch if self._fixed else _bucket(self.count)
+        if t.mesh is not None:
+            D = t.mesh.shape["data"]
+            nb = ((nb + D - 1) // D) * D
+        nb = min(nb, self.window_batch)
+        self.rows[self.count : nb] = 0
+        self.lens[self.count : nb] = 0
+        up = self.eng.upload_rows(self.rows[:nb], self.lens[:nb],
+                                  self.count)
+        futs = self.eng.window_verdict_dispatch_packed(
+            [up + (0,)], self.min_matches, self.min_matches,
+            t.mid_threshold, self.W)
+        self.pending.append((self.metas, futs))
+        self.slot = (self.slot + 1) % len(self.bufs)
+        self.rows, self.lens = self.bufs[self.slot]
+        self.metas = []
+        self.count = 0
+        if len(self.pending) > 2:
+            self._collect()
+
+    def _collect(self):
+        ms, futs = self.pending.popleft()
+        for ei, ai, start, identity in \
+                self.eng.window_verdict_collect(futs):
+            rid, abs_start, orig_len = ms[int(ei)]
+            self.detections.append((rid, int(ai), abs_start + int(start),
+                                    int(identity), orig_len))
+
+    def add(self, seq: Sequence):
+        """Queue one (trimmed) read's interior windows."""
+        if not self.enabled:
+            return
+        k = self.t.k
+        win, CL4, lo0, step = self.win, self.CL4, self.lo0, self.step
+        n = len(seq)
+        hi = n - EDGE_SIZE
+        if hi - lo0 < k + 4:
+            return
+        last = max(lo0, ((hi - win) // 4) * 4)
+        starts = list(range(lo0, last + 1, step))
+        if starts[-1] < last:
+            starts.append(last)
+        codes = seq.codes
+        npad = ((n + 3) // 4) * 4
+        need = (starts[-1] // 4) + CL4
+        c = np.zeros(max(npad, need * 4), np.uint8)
+        c[:n] = codes
+        pr = (c[0::4] << 6) | (c[1::4] << 4) | (c[2::4] << 2) | c[3::4]
+        idx = np.asarray(starts, np.int64) // 4
+        sw = np.lib.stride_tricks.sliding_window_view(pr, CL4)
+        block = sw[idx]
+        wl = np.minimum(win, hi - np.asarray(starts)) - k + 1
+        orig_len = n + seq.offset + seq.inset
+        pos = 0
+        while pos < len(starts):
+            take = min(len(starts) - pos, self.window_batch - self.count)
+            self.rows[self.count : self.count + take] = \
+                block[pos : pos + take]
+            self.lens[self.count : self.count + take] = \
+                wl[pos : pos + take]
+            for j in range(pos, pos + take):
+                self.metas.append((seq.id, seq.offset + starts[j],
+                                   orig_len))
+            self.count += take
+            pos += take
+            if self.count >= self.window_batch:
+                self._dispatch()
+
+    def finish(self):
+        """Flush, collect all detections, and apply splits."""
+        t = self.t
+        splits: dict = {}
+        if self.enabled:
+            self._dispatch()
+            while self.pending:
+                self._collect()
+        # dedupe repeated detections of one occurrence across overlapping
+        # windows: same read+adapter within 30 bases keeps best identity
+        best = {}
+        for rid, ai, start, identity, orig_len in self.detections:
+            key = (rid, ai, start // 30)
+            cur = best.get(key)
+            if cur is None or identity > cur[3]:
+                best[key] = (rid, ai, start, identity, orig_len)
+        for rid, ai, start, identity, orig_len in sorted(best.values()):
+            t._record_split(self.seqs, splits, t.front_adapters[ai],
+                            rid, start, orig_len)
+        t._log(len(splits), "sequences require splitting")
+        t._apply_splits(self.seqs, splits)
 
 
 def load_trimmer(front_path: Optional[str], back_path: Optional[str],
