@@ -731,6 +731,116 @@ class WindowChainEngine:
             futures.append((n, call(pair_budget), (call, pair_budget)))
         return futures
 
+    def _pair_state(self):
+        """Stacked front+back tables for the one-dispatch edge verdict
+        (built lazily; front/back widths always match — both pad to a
+        128 multiple)."""
+        st = getattr(self, "_pair_cache", None)
+        if st is None:
+            import jax.numpy as _jnp
+            fs, fp, fl = self.front
+            bs, bp, bl = self.back
+            if fs.shape != bs.shape or \
+                    self._front_km.shape != self._back_km.shape:
+                st = self._pair_cache = False
+            else:
+                st = self._pair_cache = tuple(self._put(np.stack(x)) for x in (
+                    (np.asarray(self._front_km), np.asarray(self._back_km)),
+                    (np.asarray(fs), np.asarray(bs)),
+                    (np.asarray(fp), np.asarray(bp)),
+                    (np.asarray(fl), np.asarray(bl)),
+                    (np.asarray(self._front_bc), np.asarray(self._back_bc)),
+                ))
+        return st
+
+    def _pair_buffers(self, nb: int, W: int):
+        slot = getattr(self, "_pslot", 0)
+        self._pslot = (slot + 1) % self.N_SLOTS
+        key = ("pair", nb, W, slot)
+        buf = getattr(self, "_buf_cache", None)
+        if buf is None:
+            buf = self._buf_cache = {}
+        if key not in buf:
+            k = self.k
+            CL = ((W + k - 1 + 3) // 4) * 4
+            buf[key] = (np.zeros((2, nb, CL), dtype=np.uint8),
+                        np.zeros((2, nb), dtype=np.int32),
+                        np.zeros((2, nb, CL // 4), dtype=np.uint8))
+        return buf[key]
+
+    def edge_pair_dispatch(self, fronts, backs, gm_f, cm_f, gm_b, cm_b,
+                           W: int, top_t: int = 8, max_anchors: int = 128,
+                           batch: int = 16384):
+        """Front + back edge verdicts as ONE upload + ONE dispatch per
+        sub-batch (the two problems stack on a leading axis; see
+        ``_fused_edge_pair``).  Returns futures for
+        ``edge_pair_collect``; None when the table shapes can't stack
+        (callers fall back to the per-side path)."""
+        tables2, seeds2, pos2, alen2, isbc2 = self._pair_state() or \
+            (None,) * 5
+        if tables2 is None:
+            return None
+        gmf, cmf, A_f = self._pad_mins(self._front_km, gm_f, cm_f)
+        gmb, cmb, A_b = self._pad_mins(self._back_km, gm_b, cm_b)
+        if A_f == 0 or A_b == 0:
+            return None
+        gm2 = self._put(np.stack([gmf, gmb]))
+        cm2 = self._put(np.stack([cmf, cmb]))
+        k = self.k
+        futures = []
+        for lo in range(0, len(fronts), batch):
+            fsub = fronts[lo : lo + batch]
+            bsub = backs[lo : lo + batch]
+            n = len(fsub)
+            nb = _bucket(max(1, n))
+            if self.mesh is not None:
+                D = self.mesh.shape["data"]
+                nb = ((nb + D - 1) // D) * D
+            codes, lens, packed = self._pair_buffers(nb, W)
+            codes[:] = 0
+            lens[:] = 0
+            for side, sub in ((0, fsub), (1, bsub)):
+                for i, w in enumerate(sub):
+                    m = min(len(w), W + k - 1)
+                    codes[side, i, :m] = w.codes[:m]
+                    lens[side, i] = max(0, m - k + 1)
+            c4 = codes.reshape(2, nb, -1, 4)
+            np.copyto(packed, c4[:, :, :, 3], casting="unsafe")
+            np.bitwise_or(packed, c4[:, :, :, 0] << 6, out=packed)
+            np.bitwise_or(packed, c4[:, :, :, 1] << 4, out=packed)
+            np.bitwise_or(packed, c4[:, :, :, 2] << 2, out=packed)
+            if self.mesh is not None:
+                # dim 0 is the front/back axis; the data axis shards the
+                # window batch (dim 1)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.mesh, P(None, "data"))
+                p_dev = jax.device_put(packed, sh)
+                l_dev = jax.device_put(lens, sh)
+            else:
+                p_dev = self._put_data(packed)
+                l_dev = self._put_data(lens)
+            fut = _fused_edge_pair(p_dev, l_dev, tables2, gm2, cm2,
+                                   seeds2, pos2, alen2, isbc2, k=k, W=W,
+                                   max_anchors=max_anchors, top_t=top_t)
+            futures.append((n, fut))
+        return futures
+
+    def edge_pair_collect(self, futures, num_front: int, num_back: int):
+        """Fetch paired edge verdicts: (front rows, front counts, back
+        rows, back counts)."""
+        fr, br = [], []
+        fc = np.zeros(num_front, np.int64)
+        bc = np.zeros(num_back, np.int64)
+        for n, fut in futures:
+            verdict, c, _ = jax.device_get(fut)
+            fr.append(np.asarray(verdict)[0, :n])
+            br.append(np.asarray(verdict)[1, :n])
+            fc += np.asarray(c)[0, :num_front]
+            bc += np.asarray(c)[1, :num_back]
+        empty = np.zeros((0, 4), np.int32)
+        return (np.concatenate(fr) if fr else empty, fc,
+                np.concatenate(br) if br else empty, bc)
+
     def edge_verdict_collect(self, futures, num_adapters: int):
         """Fetch edge verdicts: ([n, 4] int32 rows of (found, best_match,
         earliest, latest), per-adapter chain-count totals [A]).  Pair-

@@ -368,6 +368,10 @@ class Trimmer:
         backs = [s.subsequence(len(s) - EDGE_SIZE, len(s)) for s in usable]
         gm_f, cm_f = self._edge_mins(self.front_sets)
         gm_b, cm_b = self._edge_mins(self.back_sets)
+        pair = eng.edge_pair_dispatch(fronts, backs, gm_f, cm_f,
+                                      gm_b, cm_b, W)
+        if pair is not None:
+            return usable, pair, None
         ff = eng.edge_verdict_dispatch(fronts, True, gm_f, cm_f, W)
         fb = eng.edge_verdict_dispatch(backs, False, gm_b, cm_b, W)
         return usable, ff, fb
@@ -377,8 +381,14 @@ class Trimmer:
         (ref trimWorker, trim/trim.go:451-513)."""
         usable, ff, fb = state
         eng = self._engine()
-        fv, fc = eng.edge_verdict_collect(ff, len(self.front_adapters))
-        bv, bc = eng.edge_verdict_collect(fb, len(self.back_adapters))
+        if fb is None:        # paired one-dispatch form
+            fv, fc, bv, bc = eng.edge_pair_collect(
+                ff, len(self.front_adapters), len(self.back_adapters))
+        else:
+            fv, fc = eng.edge_verdict_collect(ff,
+                                              len(self.front_adapters))
+            bv, bc = eng.edge_verdict_collect(fb,
+                                              len(self.back_adapters))
         for ai, c in enumerate(fc):
             self.front_counts[ai] += int(c)
         for ai, c in enumerate(bc):
