@@ -81,9 +81,10 @@ def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
                chunk: int = 1024):
     """Retrieval + gate + chain + summary in one dispatch.
 
-    Returns ``[pair_budget + 1, 3 + W] int32``: rows of (query idx, chunk
-    idx, distinct shared-seed count, packed chain summary); the trailing
-    row carries the true passing-pair count for overflow detection.
+    Returns ``(head [budget, 3] int32, summary [budget, W] int16,
+    n_ok)``: per selected pair (query idx, chunk idx, distinct
+    shared-seed count) plus the packed chain summary; ``n_ok`` is the
+    true passing-pair count for overflow detection.
     """
     counts = _count_rows(membership, q_rb)
     dcounts = _count_rows(membership, q_db)
@@ -138,11 +139,12 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     out = dp_from_anchors(anchors, k)
     packed = summarize_dp(out, mm, q_len[mi], k, top_k)
     dc = dcounts[mi, ci]
-    rows = jnp.concatenate([
-        jnp.where(live, mi, -1)[:, None], ci[:, None], dc[:, None], packed],
-        axis=1)
-    tail = jnp.zeros((1, rows.shape[1]), jnp.int32).at[0, 0].set(n_ok)
-    return jnp.concatenate([rows, tail], axis=0)
+    head = jnp.concatenate([
+        jnp.where(live, mi, -1)[:, None], ci[:, None], dc[:, None]], axis=1)
+    # summaries fit int16 for <=10 kb chunks (positions/coverage <= 11k;
+    # empty-row sentinels clamp) - halves the dominant fetch
+    packed16 = jnp.clip(packed, -32768, 32767).astype(jnp.int16)
+    return head, packed16, n_ok
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
@@ -609,22 +611,23 @@ class MapEngine:
         M, fut, pair_budget, call = futs
         if fut is None:
             return []
-        arr = np.asarray(fut)
-        n_ok = int(arr[-1, 0])
+        # one transfer for head+summary+count (separate fetches each pay
+        # a link round trip)
+        head, packed, n_ok = jax.device_get(fut)
+        n_ok = int(n_ok)
         while n_ok > pair_budget:
             # budget overflow: escalate 4x (compile once per size, then
             # cached; overflows are rare at production budgets)
             pair_budget *= 4
-            arr = np.asarray(call(pair_budget))
-            n_ok = int(arr[-1, 0])
-        rows = arr[:-1]
-        live = rows[:, 0] >= 0
-        rows = rows[live]
-        summaries = unpack_summary(rows[:, 3:], top_k)
+            head, packed, n_ok = jax.device_get(call(pair_budget))
+            n_ok = int(n_ok)
+        live = head[:, 0] >= 0
+        head = head[live]
+        summaries = unpack_summary(packed[live].astype(np.int32), top_k)
         out = [[] for _ in range(M)]
-        for b in range(rows.shape[0]):
-            mi = int(rows[b, 0])
+        for b in range(head.shape[0]):
+            mi = int(head[b, 0])
             if mi < M:
-                out[mi].append((int(rows[b, 1]), int(rows[b, 2]),
+                out[mi].append((int(head[b, 1]), int(head[b, 2]),
                                 {key: v[b] for key, v in summaries.items()}))
         return out
