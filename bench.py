@@ -226,12 +226,13 @@ def bench_overlap():
     from downpore_tpu.utils.kmers import score_seed_values
 
     rng = np.random.default_rng(SEED + 20)
-    genome = rand_seq(rng, 60_000)
-    n_reads = 512
+    GEN = 400_000
+    genome = rand_seq(rng, GEN)
+    n_reads = 1024
     reads = []
     for i in range(n_reads):
-        p = int(rng.integers(0, 60_000 - 3200))
-        L = int(rng.integers(2500, 3200))
+        p = int(rng.integers(0, GEN - 10_000))
+        L = int(rng.integers(6000, 9600))  # ONT-scale read lengths
         reads.append(Sequence.from_string(
             mutate(rng, genome[p : p + L], 0.05), id=i, name=f"ov{i}"))
     total_bases = sum(len(r) for r in reads)
