@@ -532,10 +532,7 @@ class WindowChainEngine:
                 seeds[i, :m] = sm[np.asarray(ad.seeds[:m], dtype=np.int64)]
                 pos[i, :m] = ad.seed_positions(k)[:m]
                 alen[i] = ad.length
-            return (self._put(seeds), self._put(pos), self._put(alen))
-
-        self.front = tables(front_adapters)
-        self.back = tables(back_adapters)
+            return (seeds, pos, alen)
 
         def km_table(adapter_sets):
             AP = 128 * ((max(1, len(adapter_sets)) + 127) // 128)
@@ -543,20 +540,24 @@ class WindowChainEngine:
             for i, st in enumerate(adapter_sets):
                 kms = [seed_map[int(sid)] for sid in st]
                 t[kms, i] = 1
-            return self._put(t)
-
-        self._front_km = km_table(front_sets)
-        self._back_km = km_table(back_sets)
+            return t
 
         def bc_table(adapters, AP):
             t = np.zeros(AP, np.int32)
             for i, ad in enumerate(adapters):
                 if (ad.get_name() or "").startswith("Barcode"):
                     t[i] = 1
-            return self._put(t)
+            return t
 
-        self._front_bc = bc_table(front_adapters, self._front_km.shape[1])
-        self._back_bc = bc_table(back_adapters, self._back_km.shape[1])
+        fkm = km_table(front_sets)
+        bkm = km_table(back_sets)
+        # one batched device_put for all resident tables: each separate
+        # transfer pays a full link round trip on a tunnelled TPU
+        (self.front, self.back, self._front_km, self._back_km,
+         self._front_bc, self._back_bc) = self._put(
+            (tables(front_adapters), tables(back_adapters), fkm, bkm,
+             bc_table(front_adapters, fkm.shape[1]),
+             bc_table(back_adapters, bkm.shape[1])))
 
     # -- per batch ------------------------------------------------------
     N_SLOTS = 8  # staging sets rotated so several uploads can be in
