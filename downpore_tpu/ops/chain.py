@@ -123,14 +123,26 @@ def _window_ok(gap_q, gap_t, k, variant: str = "extend"):
     return (gap_q >= min_gap) & (gap_q <= max_gap)
 
 
-def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend"):
+def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend",
+                small: bool = False):
     """Forward anchor DP for one pair.  Returns per-anchor:
     score (chain length), cov_q/cov_t (bases covered), start_qp/start_tp
     (positions of the chain's first anchor), bp (chosen predecessor anchor
-    index, -1 for chain starts)."""
+    index, -1 for chain starts).
+
+    With ``small`` the carried state and anchor arrays are int16 — the
+    scan is HBM-bound (every step re-reads ~11 [pairs, anchors] arrays),
+    so halving the element size nearly halves the DP.  Safe whenever all
+    positions are < 16384 (gap ratios stay in int32; the fused trim/map/
+    overlap engines bound positions by window/chunk size)."""
     n = qi.shape[0]
 
+    dt = jnp.int16 if small else jnp.int32
+    neg = jnp.asarray(-(2 ** 14) if small else NEG, dt)
+    if small:
+        qi, tj, qp, tp = (a.astype(dt) for a in (qi, tj, qp, tp))
     idx = jnp.arange(n)
+    kd = jnp.asarray(k, dt)
 
     def body(t, state):
         # every dynamic-index access here is phrased gather-free (argmax
@@ -139,26 +151,31 @@ def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend"):
         # gathers/updates under vmap lowered to XLA gather/scatter, which
         # ran ~30x slower than the equivalent VPU selects on TPU
         score, cov_q, cov_t, s_qp, s_tp, bp = state
-        gap_q = qp[t] - qp - k
-        gap_t = tp[t] - tp - k
+        gap_q = qp[t] - qp - kd
+        gap_t = tp[t] - tp - kd
+        # ratio windows in int32 (gap*3 can exceed int16)
         ok = (idx < t) & valid & (qi < qi[t]) & (tj < tj[t]) \
-            & _window_ok(gap_q, gap_t, k, variant) & (score > 0)
-        cand = jnp.where(ok, score, NEG)
+            & _window_ok(gap_q.astype(jnp.int32),
+                         gap_t.astype(jnp.int32), k, variant) & (score > 0)
+        cand = jnp.where(ok, score, neg)
         best = jnp.argmax(cand)
         best_score = jnp.max(cand)
         has_prev = best_score > 0
         sel = idx == best
-        pick = lambda a: jnp.sum(jnp.where(sel, a, 0))
-        new_score = jnp.where(has_prev, best_score + 1, 1)
+        zero = jnp.asarray(0, dt)
+        # jnp.sum promotes sub-int32 accumulators; cast back so the carry
+        # dtype is stable under fori_loop
+        pick = lambda a: jnp.sum(jnp.where(sel, a, zero)).astype(dt)
+        new_score = jnp.where(has_prev, best_score + 1, 1).astype(dt)
         new_cov_q = jnp.where(has_prev,
-                              pick(cov_q) + k
-                              + jnp.minimum(0, pick(gap_q)), k)
+                              pick(cov_q) + kd
+                              + jnp.minimum(zero, pick(gap_q)), kd)
         new_cov_t = jnp.where(has_prev,
-                              pick(cov_t) + k
-                              + jnp.minimum(0, pick(gap_t)), k)
+                              pick(cov_t) + kd
+                              + jnp.minimum(zero, pick(gap_t)), kd)
         new_s_qp = jnp.where(has_prev, pick(s_qp), qp[t])
         new_s_tp = jnp.where(has_prev, pick(s_tp), tp[t])
-        new_bp = jnp.where(has_prev, best.astype(jnp.int32), -1)
+        new_bp = jnp.where(has_prev, best.astype(dt), -1)
         v = valid[t]
         at_t = idx == t
         score = jnp.where(at_t, jnp.where(v, new_score, 0), score)
@@ -169,11 +186,15 @@ def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend"):
         bp = jnp.where(at_t, jnp.where(v, new_bp, -1), bp)
         return score, cov_q, cov_t, s_qp, s_tp, bp
 
-    init = (jnp.zeros(n, jnp.int32),) * 5 + (jnp.full(n, -1, jnp.int32),)
-    return jax.lax.fori_loop(0, n, body, init)
+    init = (jnp.zeros(n, dt),) * 5 + (jnp.full(n, -1, dt),)
+    out = jax.lax.fori_loop(0, n, body, init)
+    if small:
+        out = tuple(a.astype(jnp.int32) for a in out)
+    return out
 
 
-def dp_from_anchors(anchors, k: int, variant: str = "extend"):
+def dp_from_anchors(anchors, k: int, variant: str = "extend",
+                    small: bool = False):
     """Forward + backward chain DP over a prepared anchor batch.
 
     Returns a dict of ``[P, A]`` arrays:
@@ -188,13 +209,15 @@ def dp_from_anchors(anchors, k: int, variant: str = "extend"):
     qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
                              anchors["tp"], anchors["valid"])
 
-    fwd = jax.vmap(_chain_scan, in_axes=(0, 0, 0, 0, 0, None, None))
-    f, cov_qf, cov_tf, s_qp, s_tp, bp = fwd(qi, tj, qp, tp, valid, k, variant)
+    fwd = jax.vmap(_chain_scan, in_axes=(0, 0, 0, 0, 0, None, None, None))
+    f, cov_qf, cov_tf, s_qp, s_tp, bp = fwd(qi, tj, qp, tp, valid, k,
+                                            variant, small)
     # backward pass: reverse anchor order and negate coordinates, turning
     # "best chain starting here" into the same forward recurrence
     rev = lambda x: x[:, ::-1]
     bb, cov_qb, cov_tb, e_qp, e_tp, _ = fwd(rev(-qi), rev(-tj), rev(-qp),
-                                            rev(-tp), rev(valid), k, variant)
+                                            rev(-tp), rev(valid), k,
+                                            variant, small)
     b, cov_qb, cov_tb = rev(bb), rev(cov_qb), rev(cov_tb)
     e_qp, e_tp = -rev(e_qp), -rev(e_tp)
 

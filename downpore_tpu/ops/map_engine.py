@@ -74,11 +74,11 @@ def make_sharded_counts(mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
-                                              "chunk"))
+                                              "chunk", "small"))
 def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
                membership, t_seeds, t_pos,
                k: int, pair_budget: int, top_k: int = 4,
-               chunk: int = 1024):
+               chunk: int = 1024, small: bool = False):
     """Retrieval + gate + chain + summary in one dispatch.
 
     Returns ``(head [budget, 3] int32, summary [budget, W] int16,
@@ -91,15 +91,15 @@ def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
     return _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
                             base_min, q_len, t_seeds, t_pos, k=k,
                             pair_budget=pair_budget, top_k=top_k,
-                            chunk=chunk)
+                            chunk=chunk, small=small)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
-                                              "chunk"))
+                                              "chunk", "small"))
 def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
                      q_len, t_seeds, t_pos,
                      k: int, pair_budget: int, top_k: int = 4,
-                     chunk: int = 1024):
+                     chunk: int = 1024, small: bool = False):
     """Gate + chain + summary from precomputed retrieval counts (the
     entry point for the seed-sharded retrieval path)."""
     M = q_seeds.shape[0]
@@ -136,7 +136,7 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
                                   ci_p.reshape(NCH, CH)))
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
-    out = dp_from_anchors(anchors, k)
+    out = dp_from_anchors(anchors, k, small=small)
     packed = summarize_dp(out, mm, q_len[mi], k, top_k)
     dc = dcounts[mi, ci]
     head = jnp.concatenate([
@@ -148,11 +148,12 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
-                                              "chunk", "chain_len"))
+                                              "chunk", "chain_len", "small"))
 def _fused_overlap(q_seeds, q_pos, q_rb, q_db, min_count, base_min,
                    membership, t_seeds, t_pos,
                    k: int, pair_budget: int, variant: str = "aligner",
-                   chunk: int = 512, chain_len: int = 128):
+                   chunk: int = 512, chain_len: int = 128,
+                   small: bool = False):
     """Retrieval + gate + chain DP + on-device best-chain extraction.
 
     The overlapper needs the full anchor chain of the best alignment per
@@ -174,15 +175,16 @@ def _fused_overlap(q_seeds, q_pos, q_rb, q_db, min_count, base_min,
                                 min_count, base_min, t_seeds, t_pos,
                                 k=k, pair_budget=pair_budget,
                                 variant=variant, chunk=chunk,
-                                chain_len=chain_len)
+                                chain_len=chain_len, small=small)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
-                                              "chunk", "chain_len"))
+                                              "chunk", "chain_len", "small"))
 def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
                          base_min, t_seeds, t_pos,
                          k: int, pair_budget: int, variant: str = "aligner",
-                         chunk: int = 512, chain_len: int = 128):
+                         chunk: int = 512, chain_len: int = 128,
+                         small: bool = False):
     """Gate + chain + best-chain walk from precomputed retrieval counts
     (the seed-sharded retrieval entry)."""
     M = q_seeds.shape[0]
@@ -213,7 +215,7 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
                                   ci_p.reshape(NCH, CH)))
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
-    out = dp_from_anchors(anchors, k, variant)
+    out = dp_from_anchors(anchors, k, variant, small=small)
     f, bp = out["f"], out["bp"]
     qi_a, tj_a = out["qi"], out["tj"]
     rows_idx = jnp.arange(B)
@@ -295,6 +297,10 @@ class MapEngine:
         else:
             self.membership = self._put(mem)
             self._sharded_counts = None
+        # int16 chain-DP carries are safe when every target position fits
+        # under 2^14 (default 10 kb chunks do); the query side is checked
+        # per dispatch
+        self._t_small = int(t_pos.max(initial=0)) < 16000
         self.t_seeds = self._put(t_seeds)
         self.t_pos = self._put(t_pos)
         # "usable" per Matches: seeds present in every chunk carry no info
@@ -520,6 +526,8 @@ class MapEngine:
             # generous for mapping; collect() escalates on overflow)
             pair_budget = max(4096, 2 * MB)
 
+        small = self._t_small and int(q_pos.max(initial=0)) < 16000
+
         def call(budget):
             if self.seed_sharded:
                 counts = self._sharded_counts(self.membership, args[2])
@@ -527,10 +535,10 @@ class MapEngine:
                 return _map_from_counts(
                     counts, dcounts, args[0], args[1], args[4], args[5],
                     args[6], self.t_seeds, self.t_pos, k=self.k,
-                    pair_budget=budget, top_k=top_k)
+                    pair_budget=budget, top_k=top_k, small=small)
             return _fused_map(*args, self.membership, self.t_seeds,
                               self.t_pos, k=self.k, pair_budget=budget,
-                              top_k=top_k)
+                              top_k=top_k, small=small)
 
         return (M, call(pair_budget), pair_budget, call)
 
@@ -571,6 +579,8 @@ class MapEngine:
             # (~2/query observed; escalation below handles dense rounds)
             pair_budget = max(4096, 2 * MB)
 
+        small = self._t_small and int(q_pos.max(initial=0)) < 16000
+
         def call(budget):
             if self.seed_sharded:
                 counts = self._sharded_counts(self.membership, args[2])
@@ -579,10 +589,11 @@ class MapEngine:
                     counts, dcounts, args[0], args[1], args[4], args[5],
                     self.t_seeds, self.t_pos, k=self.k,
                     pair_budget=budget, variant=variant,
-                    chain_len=chain_len)
+                    chain_len=chain_len, small=small)
             return _fused_overlap(*args, self.membership, self.t_seeds,
                                   self.t_pos, k=self.k, pair_budget=budget,
-                                  variant=variant, chain_len=chain_len)
+                                  variant=variant, chain_len=chain_len,
+                                  small=small)
 
         # one transfer for head+chains+count: three separate fetches cost
         # three link round trips (~0.15 s each over a tunnelled TPU)

@@ -203,7 +203,7 @@ def _fused_match(packed, lens, km_table, gate_min, chain_min,
                                       ai.reshape(C, CHUNK)))
         anchors = {key: v.reshape(ei.shape[0], *v.shape[2:])
                    for key, v in anchors.items()}
-        out = dp_from_anchors(anchors, k)
+        out = dp_from_anchors(anchors, k, small=True)
         return summarize_dp(out, mm, a_len[ai], k, top_k)
 
     ok_flat = mm_all < BIGM
@@ -291,12 +291,12 @@ def _fused_edge_verdict(packed, lens, km_table, gate_min, chain_min,
         sel, live, ei_s, ai_s, mm_s = _compact_pairs(
             ok_flat, ei_p, ai_p, mm_p, pair_budget, CHUNK)
         anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_s, ai_s)
-        out = dp_from_anchors(anchors, k)
+        out = dp_from_anchors(anchors, k, small=True)
         s = _scatter_scalars(
             summarize_scalars(out, mm_s, a_len[ai_s], k), sel, PC)
     else:
         anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
-        out = dp_from_anchors(anchors, k)
+        out = dp_from_anchors(anchors, k, small=True)
         s = summarize_scalars(out, mm_p, a_len[ai_p], k)
 
     P = n * top_t
@@ -395,14 +395,14 @@ def _fused_enable(packed, lens, km_table, gate_min, chain_min,
         sel, live, ei_s, ai_s, mm_s = _compact_pairs(
             ok_flat, ei_p, ai_p, mm_p, pair_budget, CHUNK)
         anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_s, ai_s)
-        out = dp_from_anchors(anchors, k)
+        out = dp_from_anchors(anchors, k, small=True)
         s = summarize_scalars(out, mm_s, a_len[ai_s], k)
         cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
         covs = jnp.zeros(km_table.shape[1], jnp.int32).at[ai_s].max(
             jnp.where(live, cov, 0))
     else:
         anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos, ei_p, ai_p)
-        out = dp_from_anchors(anchors, k)
+        out = dp_from_anchors(anchors, k, small=True)
         s = summarize_scalars(out, mm_p, a_len[ai_p], k)
         cov = jnp.where(s["n_chains"] > 0, s["ident_cov_q"], 0)
         covs = jnp.zeros(km_table.shape[1], jnp.int32).at[ai_p].max(cov)
@@ -451,7 +451,7 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
         ei_s, ai_s, mm_s = args
         anchors = _anchors_chunked(kmers, lens, a_seeds, a_pos,
                                    ei_s, ai_s, chunk=CHUNK)
-        out = dp_from_anchors(anchors, k)
+        out = dp_from_anchors(anchors, k, small=True)
         alen_s = a_len[ai_s]
         s = summarize_scalars(out, mm_s, alen_s, k)
         # top chains per pair -> detection candidates
