@@ -188,7 +188,7 @@ def bench_map():
                     chunk_size=10000)
     t_index = time.time() - t0
 
-    n_reads = 4096
+    n_reads = 8192
     reads = []
     comp = bytes.maketrans(b"ACGT", b"TGCA")
     for i in range(n_reads):
@@ -200,7 +200,7 @@ def bench_map():
         reads.append(Sequence.from_string(s, id=i, name=f"r{i}"))
     total_bases = sum(len(r) for r in reads)
 
-    mapper.map_batch(reads[:64])     # warmup compiles
+    mapper.map_batch(reads)          # warmup compiles all shape buckets
     elapsed = None
     for _ in range(2):
         t1 = time.time()

@@ -57,9 +57,12 @@ class MapCommand(Command):
                               min_length=parse_int(args["min_length"]))
         mapped = multiple = unmapped = total = 0
         batch = []
-        batch_size = 2048  # big batches keep the device fed (the
+        batch_size = 8192  # big batches keep the device fed (the
         # reference streams per-read through a worker pool; ours amortizes
-        # dispatch latency across reads)
+        # dispatch latency across reads).  map_batch stages globally —
+        # all reads' end windows in one pipelined dispatch train, then one
+        # step-inward stage, then the chimera stage — so each flush pays
+        # a handful of link round trips regardless of size.
 
         def flush(batch):
             nonlocal mapped, multiple, unmapped, total

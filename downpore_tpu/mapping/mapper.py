@@ -26,18 +26,6 @@ from ..core.sequence import Sequence
 from ..seeds import SeedIndex, SeedSequence
 
 
-class _LightQ:
-    """Per-query-window metadata for the candidate walk (the full
-    SeedSequence is no longer materialized on host — feature extraction
-    is batch-vectorized in MapEngine.pack_query_windows)."""
-    __slots__ = ("length", "offset", "inset")
-
-    def __init__(self, length, offset, inset):
-        self.length = length
-        self.offset = offset
-        self.inset = inset
-
-
 class Mapping:
     """One mapped region (ref: mapping/mapping.go:11-20)."""
     __slots__ = ("query", "start", "end", "query_offset", "query_inset",
@@ -124,7 +112,7 @@ class Mapper:
         # chunked dispatch-ahead pipeline: pack chunk i+1 on host while
         # the device crunches chunk i (pack and compute are each ~half
         # the stage, so the overlap nearly halves wall-clock)
-        CHUNK = 2048
+        CHUNK = 4096
         inflight = []
         results: List[List[Mapping]] = [[] for _ in queries]
         for lo in range(0, len(queries), CHUNK):
@@ -134,93 +122,120 @@ class Mapper:
             base_min = np.maximum(5, num_seeds // 5).astype(np.int32)
             futs = self.engine.dispatch_packed(packed, base_min)
             inflight.append((lo, sub, num_seeds, futs))
-        for lo, sub, num_seeds, futs in inflight:
-            self._walk_candidates(sub, num_seeds,
-                                  self.engine.collect(futs), results, lo)
+        colls = self.engine.collect_arrays_many([f for *_, f in inflight])
+        for (lo, sub, num_seeds, _), coll in zip(inflight, colls):
+            self._walk_candidates(sub, num_seeds, coll, results, lo)
         return results
 
-    def _walk_candidates(self, queries, num_seeds, per_meta, results,
+    def _walk_candidates(self, queries, num_seeds, coll, results,
                          base: int):
         """Adaptive-threshold candidate walk for one packed chunk
         (ref: mapping.go:494-589).  ``results[base + qi]`` receives each
-        query's mappings."""
-        if not per_meta:
+        query's mappings.
+
+        All per-(pair, chain) geometry — reference start/end, query
+        offset/inset, the 2/3-coverage rule — is precomputed with numpy
+        over the whole fetched batch; the remaining Python loop only
+        applies the *sequential* adaptive-threshold rules the reference
+        defines over the candidate walk order (thresholds ratchet up as
+        chains are accepted, affecting later candidates of the same
+        query), reading precomputed lists."""
+        if coll is None:
+            return
+        head, packed = coll
+        N = head.shape[0]
+        if N == 0:
             return
         k = self.k
-        # lightweight per-row query metadata; RC rows swap offset/inset
-        # (Sequence.reverse_complement semantics)
-        metas = []
-        for q in queries:
-            metas.append(_LightQ(len(q), q.offset, q.inset))
-            metas.append(_LightQ(len(q), q.inset, q.offset))
-
-        for qi in range(len(queries)):
-            fw_mi, rc_mi = 2 * qi, 2 * qi + 1
-            min_matches = max(5, int(num_seeds[fw_mi]) // 5)
-            min_rc = max(5, int(num_seeds[rc_mi]) // 5)
+        K = 4
+        from ..ops.chain import unpack_summary
+        s = unpack_summary(packed, K)
+        mi = head[:, 0]
+        ci = head[:, 1]
+        eng = self.engine
+        ch_off = eng.chunk_off[ci]
+        ch_inset = eng.chunk_inset[ci]
+        ch_len = eng.chunk_len[ci]
+        ref_len = len(self.reference)
+        nq = len(queries)
+        qi_row = mi >> 1
+        is_rc = (mi & 1).astype(bool)
+        qlen = np.fromiter((len(q) for q in queries), np.int64, nq)[qi_row]
+        qoff = np.fromiter((q.offset for q in queries), np.int64, nq)[qi_row]
+        qins = np.fromiter((q.inset for q in queries), np.int64, nq)[qi_row]
+        # RC rows swap offset/inset (Sequence.reverse_complement semantics)
+        moff = np.where(is_rc, qins, qoff)
+        mins_ = np.where(is_rc, qoff, qins)
+        sqp, stp = s["top_sqp"], s["top_stp"]
+        eqp, etp = s["top_eqp"], s["top_etp"]
+        start = ch_off[:, None] + stp
+        end = ref_len - ch_inset[:, None] - (ch_len[:, None] - etp - k)
+        if self.circular:
+            start = np.where(start > ref_len, start - ref_len, start)
+        qil = qlen[:, None] - eqp - k
+        ok23 = (sqp + qil) <= (qlen[:, None] * 2) // 3
+        q_offset = np.where(is_rc[:, None], qil + mins_[:, None],
+                            sqp + moff[:, None])
+        q_inset = np.where(is_rc[:, None], sqp + moff[:, None],
+                           qil + mins_[:, None])
+        # rows are sorted by mi (query-major compaction order)
+        bounds = np.searchsorted(mi, np.arange(2 * nq + 1))
+        dc_l = head[:, 2].tolist()
+        best_l = s["best"].tolist()
+        tv_l = s["top_valid"].tolist()
+        tl_l = s["top_len"].tolist()
+        ct_l = s["top_cov_t"].tolist()
+        eq_l = eqp.tolist()
+        et_l = etp.tolist()
+        sq_l = sqp.tolist()
+        st_l = stp.tolist()
+        start_l = start.tolist()
+        end_l = end.tolist()
+        qo_l = q_offset.tolist()
+        qn_l = q_inset.tolist()
+        ok_l = ok23.tolist()
+        for qi in range(nq):
+            lo_f, hi_f = bounds[2 * qi], bounds[2 * qi + 1]
+            lo_r, hi_r = bounds[2 * qi + 1], bounds[2 * qi + 2]
+            if lo_f == hi_f and lo_r == hi_r:
+                continue
+            min_matches = max(5, int(num_seeds[2 * qi]) // 5)
+            min_rc = max(5, int(num_seeds[2 * qi + 1]) // 5)
             res: List[Mapping] = []
-            for mi, is_rc in ((fw_mi, False), (rc_mi, True)):
-                seed_q = metas[mi]
-                for ci, dcount, summ in per_meta[mi]:
-                    cur_min = min_rc if is_rc else min_matches
+            query = queries[qi]
+            for lo, hi, rc in ((lo_f, hi_f, False), (lo_r, hi_r, True)):
+                for b in range(lo, hi):
+                    cur_min = min_rc if rc else min_matches
                     # popcount gate on distinct shared seeds
-                    if dcount < cur_min:
+                    if dc_l[b] < cur_min or best_l[b] < cur_min:
                         continue
-                    best = int(summ["best"])
-                    if best < cur_min:
-                        continue
-                    ms = self._extract_chains(summ, seed_q,
-                                              self.index.sequences[ci],
-                                              is_rc, queries[qi], cur_min)
-                    for m, chain_len in ms:
-                        res.append(m)
-                        limit = (chain_len * 4) // 5
-                        if not is_rc and limit > min_matches:
+                    # one chain per distinct start, best stat wins
+                    # (ref: mapping.go:528-551)
+                    tvb, tlb = tv_l[b], tl_l[b]
+                    ctb, eqb, etb = ct_l[b], eq_l[b], et_l[b]
+                    sqb, stb = sq_l[b], st_l[b]
+                    starts = {}
+                    for j in range(K):
+                        if not tvb[j] or tlb[j] < cur_min:
+                            continue
+                        key = (sqb[j], stb[j])
+                        stat = (tlb[j], ctb[j], eqb[j], etb[j])
+                        prev = starts.get(key)
+                        if prev is None or stat > prev[0]:
+                            starts[key] = (stat, j)
+                    okb = ok_l[b]
+                    for stat, j in starts.values():
+                        if not okb[j]:
+                            continue
+                        res.append(Mapping(query, start_l[b][j],
+                                           end_l[b][j], qo_l[b][j],
+                                           qn_l[b][j], rc, ctb[j]))
+                        limit = (stat[0] * 4) // 5
+                        if not rc and limit > min_matches:
                             min_matches = limit
                         if limit > min_rc:
                             min_rc = limit
             results[base + qi] = _dedup_by_position(res)
-
-    def _extract_chains(self, summ, seed_q: "_LightQ",
-                        chunk: SeedSequence, is_rc: bool, query: Sequence,
-                        cur_min: int):
-        """Mappings from the top good chains of one pair, one per distinct
-        chain start (ref: mapping.go:528-551)."""
-        k = self.k
-        ref_len = len(self.reference)
-        starts = {}
-        for j in range(len(summ["top_valid"])):
-            if not summ["top_valid"][j]:
-                continue
-            if int(summ["top_len"][j]) < cur_min:
-                continue
-            key = (int(summ["top_sqp"][j]), int(summ["top_stp"][j]))
-            stat = (int(summ["top_len"][j]),
-                    int(summ["top_cov_t"][j]),
-                    int(summ["top_eqp"][j]), int(summ["top_etp"][j]))
-            prev = starts.get(key)
-            if prev is None or stat > prev:
-                starts[key] = stat
-        res = []
-        for (sqp, stp), (chain_len, cov_t, eqp, etp) in starts.items():
-            start = chunk.offset + stp
-            end = ref_len - chunk.inset - (chunk.length - etp - k)
-            if self.circular and start > ref_len:
-                start -= ref_len
-            q_off_local = sqp
-            q_in_local = seed_q.length - eqp - k
-            if q_off_local + q_in_local > (seed_q.length * 2) // 3:
-                continue
-            if is_rc:
-                # offsets measured on the RC query; swap for the original
-                q_inset = q_off_local + seed_q.offset
-                q_offset = q_in_local + seed_q.inset
-            else:
-                q_offset = q_off_local + seed_q.offset
-                q_inset = q_in_local + seed_q.inset
-            res.append((Mapping(query, start, end, q_offset, q_inset,
-                                is_rc, cov_t), chain_len))
-        return res
 
     # -- pairing / consistency ------------------------------------------
     def is_consistent(self, left: Mapping, right: Mapping) -> bool:

@@ -147,6 +147,32 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     return head, packed16, n_ok
 
 
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
+                                              "chunk", "small", "nq"))
+def _fused_map_c(a_c, q_seeds, membership, t_seeds, t_pos,
+                 k: int, pair_budget: int, top_k: int = 4,
+                 chunk: int = 1024, small: bool = False, nq: int = 64):
+    """``_fused_map`` with the per-query feature arrays concatenated into
+    ONE host->device transfer: ``a_c [M, 3*nq + 3]`` carries q_pos | q_rb
+    | q_db | (min_count, base_min, q_len), int16 when every field fits
+    (hash space <= 32768 and window <= 32767 bases) else int32.  Each
+    device_put pays a full link round trip on a tunnelled TPU, so one
+    combined transfer replaces six."""
+    a = a_c.astype(jnp.int32)
+    q_pos = a[:, :nq]
+    q_rb = a[:, nq : 2 * nq]
+    q_db = a[:, 2 * nq : 3 * nq]
+    min_count = a[:, 3 * nq]
+    base_min = a[:, 3 * nq + 1]
+    q_len = a[:, 3 * nq + 2]
+    counts = _count_rows(membership, q_rb)
+    dcounts = _count_rows(membership, q_db)
+    return _map_from_counts(counts, dcounts, q_seeds.astype(jnp.int32),
+                            q_pos, min_count, base_min, q_len,
+                            t_seeds, t_pos, k=k, pair_budget=pair_budget,
+                            top_k=top_k, chunk=chunk, small=small)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
                                               "chunk", "chain_len", "small"))
 def _fused_overlap(q_seeds, q_pos, q_rb, q_db, min_count, base_min,
@@ -262,6 +288,10 @@ class MapEngine:
         t_seeds = np.full((max(1, CP), nt), -1, np.int32)
         t_pos = np.zeros((max(1, CP), nt), np.int32)
         self.chunk_nseeds = np.zeros(max(1, CP), np.int64)
+        # chunk geometry for the vectorized candidate walk
+        self.chunk_off = np.zeros(max(1, CP), np.int64)
+        self.chunk_inset = np.zeros(max(1, CP), np.int64)
+        self.chunk_len = np.zeros(max(1, CP), np.int64)
         for ci_, s in enumerate(index.sequences):
             if s.seeds.size:
                 mem[match_ops.hash_ids(np.unique(s.seeds), S, self.H),
@@ -270,6 +300,9 @@ class MapEngine:
             t_seeds[ci_, :m] = s.seeds[:m]
             t_pos[ci_, :m] = s.seed_positions(k)[:m]
             self.chunk_nseeds[ci_] = s.num_seeds
+            self.chunk_off[ci_] = s.offset
+            self.chunk_inset[ci_] = s.inset
+            self.chunk_len[ci_] = s.length
         self.seed_sharded = (mesh is not None
                              and "seed" in mesh.axis_names
                              and mesh.shape["seed"] > 1)
@@ -514,31 +547,60 @@ class MapEngine:
             shape = (MB - a.shape[0],) + a.shape[1:]
             return np.concatenate([a, np.full(shape, fill, a.dtype)])
 
-        args = [padm(q_seeds, -1), padm(q_pos, 0), padm(q_rb, -1),
-                padm(q_db, -1), padm(min_count.astype(np.int32), 0),
-                padm(np.asarray(base_min, np.int32), 1 << 20),
-                padm(q_len, 0)]
-        args = [self._put_data(a) for a in args]
         if not pair_budget:
             # a deterministic function of the BUCKETED batch size, so the
             # number of compiled (batch, budget) combinations stays equal
-            # to the number of batch buckets (~2 candidates/query is
-            # generous for mapping; collect() escalates on overflow)
-            pair_budget = max(4096, 2 * MB)
+            # to the number of batch buckets.  Chain DP, summary and the
+            # fetch all scale with the budget, so it is sized tight
+            # (observed ~0.3 passing pairs/row on mapping loads; this
+            # allows 1/row) and collect() escalates 4x on overflow.
+            pair_budget = max(4096, MB)
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
 
-        def call(budget):
-            if self.seed_sharded:
+        if self.seed_sharded:
+            args = [padm(q_seeds, -1), padm(q_pos, 0), padm(q_rb, -1),
+                    padm(q_db, -1), padm(min_count.astype(np.int32), 0),
+                    padm(np.asarray(base_min, np.int32), 1 << 20),
+                    padm(q_len, 0)]
+            args = [self._put_data(a) for a in args]
+
+            def call(budget):
                 counts = self._sharded_counts(self.membership, args[2])
                 dcounts = self._sharded_counts(self.membership, args[3])
                 return _map_from_counts(
                     counts, dcounts, args[0], args[1], args[4], args[5],
                     args[6], self.t_seeds, self.t_pos, k=self.k,
                     pair_budget=budget, top_k=top_k, small=small)
-            return _fused_map(*args, self.membership, self.t_seeds,
-                              self.t_pos, k=self.k, pair_budget=budget,
-                              top_k=top_k, small=small)
+
+            return (M, call(pair_budget), pair_budget, call)
+
+        # one combined feature transfer (q_pos | q_rb | q_db | scalars)
+        # plus the seed-id array: two device_puts instead of seven
+        nq = self.nq
+        qmax = int(q_pos.max(initial=0))
+        lmax = int(q_len.max(initial=0))
+        dt = (np.int16 if self.H <= (1 << 15) and qmax < (1 << 15)
+              and lmax < (1 << 15) else np.int32)
+        a_c = np.empty((MB, 3 * nq + 3), dt)
+        Mq = q_pos.shape[0]
+        a_c[:Mq, :nq] = q_pos
+        a_c[:Mq, nq : 2 * nq] = q_rb
+        a_c[:Mq, 2 * nq : 3 * nq] = q_db
+        a_c[:Mq, 3 * nq] = min_count
+        a_c[:Mq, 3 * nq + 1] = np.minimum(np.asarray(base_min), 1 << 14)
+        a_c[:Mq, 3 * nq + 2] = q_len
+        a_c[Mq:] = 0
+        a_c[Mq:, nq : 3 * nq] = -1
+        sdt = np.int16 if self.num_seeds < (1 << 15) else np.int32
+        a_dev = self._put_data(a_c)
+        s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
+
+        def call(budget):
+            return _fused_map_c(a_dev, s_dev, self.membership,
+                                self.t_seeds, self.t_pos, k=self.k,
+                                pair_budget=budget, top_k=top_k,
+                                small=small, nq=nq)
 
         return (M, call(pair_budget), pair_budget, call)
 
@@ -616,6 +678,37 @@ class MapEngine:
             mb = chains[b, L : L + blen][::-1].astype(np.int64)
             out[mi].append((int(head[b, 1]), int(head[b, 3]), blen,
                             ma, mb))
+        return out
+
+    def collect_arrays(self, futs):
+        """Fetch one dispatch's results as flat numpy arrays: ``(head
+        [N, 3] int32 (query row, chunk, distinct count), summary [N, W]
+        int32)`` over live pairs only, ordered query-major /
+        chunk-ascending (the reference's candidate walk order).  The
+        vectorized walk in ``mapping.mapper`` consumes these directly —
+        no per-pair dict building on the hot path."""
+        return self.collect_arrays_many([futs])[0]
+
+    def collect_arrays_many(self, futs_list):
+        """``collect_arrays`` over several in-flight dispatches with ONE
+        ``jax.device_get`` for all of them — sequential fetches each pay
+        a full link round trip on a tunnelled TPU."""
+        fetch = jax.device_get([f[1] for f in futs_list if f[1] is not None])
+        out = []
+        fi = 0
+        for M, fut, pair_budget, call in futs_list:
+            if fut is None:
+                out.append(None)
+                continue
+            head, packed, n_ok = fetch[fi]
+            fi += 1
+            n_ok = int(n_ok)
+            while n_ok > pair_budget:
+                pair_budget *= 4
+                head, packed, n_ok = jax.device_get(call(pair_budget))
+                n_ok = int(n_ok)
+            live = head[:, 0] >= 0
+            out.append((head[live], packed[live].astype(np.int32)))
         return out
 
     def collect(self, futs, top_k: int = 4):
