@@ -27,11 +27,16 @@ for _b in range(256):
 _DECODE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
-def encode_bases(seq) -> np.ndarray:
-    """Encode an ASCII string/bytes of bases into 2-bit codes (uint8)."""
+def encode_bases(seq, out: np.ndarray = None) -> np.ndarray:
+    """Encode an ASCII string/bytes of bases into 2-bit codes (uint8).
+
+    ``out`` reuses a caller buffer — fresh multi-MB result allocations
+    fault pages at pathological cost in sandboxed environments."""
     if isinstance(seq, str):
         seq = seq.encode("ascii")
     raw = np.frombuffer(bytes(seq), dtype=np.uint8)
+    if out is not None:
+        return np.take(_ENCODE_LUT, raw, out=out[: raw.shape[0]])
     return _ENCODE_LUT[raw]
 
 

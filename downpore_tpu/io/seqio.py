@@ -184,6 +184,55 @@ class SequenceSet:
             return False
 
     # -- reading -------------------------------------------------------
+    class _SegReader:
+        """Rolling segment buffer for sequential record streaming: one
+        file read + one base-encode per ~32 MB segment, then records are
+        zero-copy slices — ``_read_record``'s per-record seek/read/encode
+        (2-4 syscalls + an allocation each) dominated the trim pipeline's
+        host side at ~60 us/read."""
+        SEG = 32 << 20
+
+        def __init__(self, sset, f):
+            self.s = sset
+            self.f = f
+            self.lo = self.hi = 0
+            self.raw = b""
+            self.codes = None
+
+        def _ensure(self, off: int, end: int):
+            self.f.seek(off)
+            data = self.f.read(max(self.SEG, end - off))
+            self.lo, self.hi = off, off + len(data)
+            self.raw = data
+            # records are zero-copy views of this array, so it must stay
+            # immutable — a fresh array per segment (NOT a reused buffer,
+            # which would corrupt sequences held across segments)
+            self.codes = encode_bases(data)
+
+        def record(self, rid: int) -> Sequence:
+            s = self.s
+            spans = s.spans[rid]
+            if len(spans) != 1:        # split records: rare, direct path
+                return s._read_record(self.f, rid)
+            off, ln = spans[0]
+            q = s.q_spans[rid] if s.is_fastq else None
+            qoff = q[0][0] if q else None
+            end = (qoff + ln) if qoff is not None else (off + ln)
+            if off < self.lo or end > self.hi:
+                self._ensure(off, end)
+            codes = self.codes[off - self.lo : off - self.lo + ln]
+            quality = None
+            if qoff is not None and not s.ignore_quality:
+                quality = np.frombuffer(self.raw, np.uint8, count=ln,
+                                        offset=qoff - self.lo) - 33
+            ft, bt = s.front_trim[rid], s.back_trim[rid]
+            seq = Sequence(codes, id=rid, name=s.names[rid],
+                           quality=quality)
+            s.quality[rid] = _mean_quality(quality)
+            if ft or bt:
+                seq = seq.subsequence(ft, len(seq) - bt)
+            return seq
+
     def _read_record(self, f, rid: int) -> Sequence:
         parts = []
         for off, ln in self.spans[rid]:
@@ -215,6 +264,7 @@ class SequenceSet:
         sent = 0
         limit = max_n if max_n is not None else float("inf")
         with _open(self.filename) as f:
+            reader = self._SegReader(self, f)
             for rid in range(start, len(self.spans)):
                 if sent >= limit:
                     return
@@ -227,7 +277,7 @@ class SequenceSet:
                     seq.id = rid
                     yield seq
                 else:
-                    seq = self._read_record(f, rid)
+                    seq = reader.record(rid)
                     if self.cache:
                         full = seq
                         if self.front_trim[rid] or self.back_trim[rid]:

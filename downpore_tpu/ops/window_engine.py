@@ -420,26 +420,41 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
     """Middle pass fully on device: gate + chain + the identity-threshold
     detection filter (ref findSplit, trim/trim.go:515-591).
 
-    Every (window, top-``top_t`` adapter) pair runs the chain DP — on
-    real adapter sets the gate passes most pairs (the ~100 barcode
-    variants share flanking k-mers, so a window that matches one flank
-    gate-passes the whole family), which made budget-compaction schemes
-    re-run everything.  Instead the full pair grid streams through
-    ``lax.map`` segments of anchors+DP+summary, bounding peak memory to
-    one segment (a monolithic [n*top_t, NA] DP allocated ~3.5 GB and
-    thrashed HBM).  ``pair_budget`` is accepted for call-site
-    compatibility and ignored.
+    With ``pair_budget`` > 0 the chain DP runs only on the first
+    ``pair_budget`` gate-passing pairs (the middle gate demands
+    chain_min distinct position hits, which random interior windows
+    essentially never reach, so the grid is ~90% dead); the trailing
+    row's first field carries the true passing count so collect can
+    re-run unbudgeted on overflow.  The unbudgeted form streams the
+    full (window, top-``top_t`` adapter) grid through ``lax.map``
+    segments of anchors+DP+summary, bounding peak memory to one segment
+    (a monolithic [n*top_t, NA] DP allocated ~3.5 GB and thrashed HBM);
+    this is also the right shape when most pairs DO gate-pass (the ~100
+    barcode variants share flanking k-mers, so a window matching one
+    flank gate-passes the whole family).
 
     Returns ``[det_budget + 1, 4]`` int32: rows of (window idx, adapter
     idx, start offset in window, identity) for every top chain with
     identity >= ``mid_threshold``; the trailing row holds
-    (0, detection count, 0, 0) so callers can detect detection-budget
+    (passing pairs, detection count, 0, 0) so callers can detect budget
     overflow (rare: interior windows almost never contain adapters)."""
     from .chain import dp_from_anchors, summarize_scalars
     kmers = _unpack_kmers(packed, k, W)
     n = kmers.shape[0]
     ei, ai, mm = _gate_topk_pairs(kmers, lens, km_table, gate_min,
                                   chain_min, top_t)
+    if pair_budget:
+        ok_flat = mm < _BIGM
+        n_ok = jnp.sum(ok_flat.astype(jnp.int32))
+        P0 = ei.shape[0]
+        sel = jnp.nonzero(ok_flat, size=pair_budget, fill_value=P0)[0]
+        live = sel < P0
+        selc = jnp.clip(sel, 0, P0 - 1)
+        ei = jnp.where(live, ei[selc], 0)
+        ai = jnp.where(live, ai[selc], 0)
+        mm = jnp.where(live, mm[selc], jnp.int32(_BIGM))
+    else:
+        n_ok = jnp.int32(0)
     CHUNK = 4096
     ei_p, ai_p, mm_p = _pad_pairs([ei, ai, mm], [0, 0, _BIGM], CHUNK)
     SEG = min(32768, ei_p.shape[0])
@@ -487,7 +502,8 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
         jnp.where(dlive, ai_p[pi], 0),
         jnp.where(dlive, pick(start), 0),
         jnp.where(dlive, pick(identity), 0)], axis=1)
-    tail = jnp.zeros((1, 4), jnp.int32).at[0, 1].set(n_det)
+    tail = jnp.zeros((1, 4), jnp.int32).at[0, 0].set(n_ok).at[0, 1].set(
+        n_det)
     return jnp.concatenate([rows, tail], axis=0)
 
 
@@ -551,13 +567,31 @@ class WindowChainEngine:
 
         fkm = km_table(front_sets)
         bkm = km_table(back_sets)
+        ft = tables(front_adapters)
+        bt = tables(back_adapters)
+        fbc = bc_table(front_adapters, fkm.shape[1])
+        bbc = bc_table(back_adapters, bkm.shape[1])
+        # the stacked front+back tables for the one-dispatch edge verdict
+        # are built HERE from the host copies: building them lazily from
+        # the resident device arrays fetched every table back over the
+        # link (~0.2 s per fresh Trimmer)
+        if ft[0].shape == bt[0].shape and fkm.shape == bkm.shape:
+            pair_host = ((fkm, bkm), (ft[0], bt[0]), (ft[1], bt[1]),
+                         (ft[2], bt[2]), (fbc, bbc))
+            pair_host = tuple(np.stack(x) for x in pair_host)
+        else:
+            pair_host = None
         # one batched device_put for all resident tables: each separate
         # transfer pays a full link round trip on a tunnelled TPU
-        (self.front, self.back, self._front_km, self._back_km,
-         self._front_bc, self._back_bc) = self._put(
-            (tables(front_adapters), tables(back_adapters), fkm, bkm,
-             bc_table(front_adapters, fkm.shape[1]),
-             bc_table(back_adapters, bkm.shape[1])))
+        if pair_host is None:
+            (self.front, self.back, self._front_km, self._back_km,
+             self._front_bc, self._back_bc) = self._put(
+                (ft, bt, fkm, bkm, fbc, bbc))
+            self._pair_cache = False
+        else:
+            (self.front, self.back, self._front_km, self._back_km,
+             self._front_bc, self._back_bc, self._pair_cache) = self._put(
+                (ft, bt, fkm, bkm, fbc, bbc, pair_host))
 
     # -- per batch ------------------------------------------------------
     N_SLOTS = 8  # staging sets rotated so several uploads can be in
@@ -734,25 +768,9 @@ class WindowChainEngine:
 
     def _pair_state(self):
         """Stacked front+back tables for the one-dispatch edge verdict
-        (built lazily; front/back widths always match — both pad to a
-        128 multiple)."""
-        st = getattr(self, "_pair_cache", None)
-        if st is None:
-            import jax.numpy as _jnp
-            fs, fp, fl = self.front
-            bs, bp, bl = self.back
-            if fs.shape != bs.shape or \
-                    self._front_km.shape != self._back_km.shape:
-                st = self._pair_cache = False
-            else:
-                st = self._pair_cache = tuple(self._put(np.stack(x)) for x in (
-                    (np.asarray(self._front_km), np.asarray(self._back_km)),
-                    (np.asarray(fs), np.asarray(bs)),
-                    (np.asarray(fp), np.asarray(bp)),
-                    (np.asarray(fl), np.asarray(bl)),
-                    (np.asarray(self._front_bc), np.asarray(self._back_bc)),
-                ))
-        return st
+        (resident since engine init; False when the table shapes can't
+        stack)."""
+        return self._pair_cache
 
     def _pair_buffers(self, nb: int, W: int):
         slot = getattr(self, "_pslot", 0)
@@ -785,8 +803,15 @@ class WindowChainEngine:
         gmb, cmb, A_b = self._pad_mins(self._back_km, gm_b, cm_b)
         if A_f == 0 or A_b == 0:
             return None
-        gm2 = self._put(np.stack([gmf, gmb]))
-        cm2 = self._put(np.stack([cmf, cmb]))
+        # min thresholds are fixed across a trim run's batches — reuse the
+        # resident copy instead of re-uploading per batch
+        mkey = (gmf.tobytes(), cmf.tobytes(), gmb.tobytes(), cmb.tobytes())
+        cached = getattr(self, "_mins_cache", None)
+        if cached is None or cached[0] != mkey:
+            gm2, cm2 = self._put((np.stack([gmf, gmb]),
+                                  np.stack([cmf, cmb])))
+            cached = self._mins_cache = (mkey, gm2, cm2)
+        _, gm2, cm2 = cached
         k = self.k
         futures = []
         for lo in range(0, len(fronts), batch):

@@ -306,13 +306,15 @@ class Trimmer:
         stream = None if checkpoint else self._mid_stream(seqs)
 
         def feed_stream(batch_seqs):
+            subs = []
             for s in batch_seqs:
                 rid = s.id
                 if seqs.ignore[rid]:
                     continue
                 df = seqs.get_front_trim(rid)
                 db = seqs.get_back_trim(rid)
-                stream.add(s.subsequence(df, len(s) - db))
+                subs.append(s.subsequence(df, len(s) - db))
+            stream.add_batch(subs)
 
         if not progress.get("edges_done"):
             self._log("Trimming ends and indexing all sequences against",
@@ -393,36 +395,40 @@ class Trimmer:
             self.front_counts[ai] += int(c)
         for ai, c in enumerate(bc):
             self.back_counts[ai] += int(c)
-        for i, seq in enumerate(usable):
-            fr = _EdgeResult(int(fv[i, 2]), int(fv[i, 3]), bool(fv[i, 0]),
-                             int(fv[i, 1]))
-            br = _EdgeResult(int(bv[i, 2]), int(bv[i, 3]), bool(bv[i, 0]),
-                             int(bv[i, 1]))
-            found_start, match_index = fr.found, fr.best_match
-            found_end, back_match_index = br.found, br.best_match
-            if self.require_pairs:
-                fpair = self.pairs_front[match_index] if found_start else -1
-                bpair = self.pairs_back[back_match_index] if found_end else -1
-                if fpair != bpair:
-                    found_start = False
-                    found_end = False
-            if not found_start:
-                self.no_count += 1
-            start = fr.latest + self.extra_edge_trim
-            end = EDGE_SIZE - br.earliest + self.extra_edge_trim
-            rid = seq.id
-            if start + end + 10 >= len(seq):
-                seqs.set_ignore(rid, True)
-                continue
-            if found_start:
-                seqs.set_front_trim(rid, start)
-                if self.tag_adapters:
-                    seqs.set_name(rid, self.front_adapters[match_index]
-                                  .get_name() + "_" + seqs.get_name(rid))
-            elif end > start and start > 0:
-                seqs.set_front_trim(rid, start)
-            if found_end or (end > start and end < len(seq)):
-                seqs.set_back_trim(rid, end)
+        n = len(usable)
+        if n == 0:
+            return
+        # vectorized trimWorker decision rules (ref: trim/trim.go:471-509)
+        found_f = fv[:n, 0].astype(bool)
+        found_b = bv[:n, 0].astype(bool)
+        mi_f = fv[:n, 1]
+        mi_b = bv[:n, 1]
+        if self.require_pairs:
+            pf = np.where(found_f, np.asarray(self.pairs_front)[mi_f], -1)
+            pb = np.where(found_b, np.asarray(self.pairs_back)[mi_b], -1)
+            bad = pf != pb
+            found_f = found_f & ~bad
+            found_b = found_b & ~bad
+        self.no_count += int(np.sum(~found_f))
+        start = fv[:n, 3] + self.extra_edge_trim
+        end = EDGE_SIZE - bv[:n, 2] + self.extra_edge_trim
+        lens = np.fromiter((len(s) for s in usable), np.int64, n)
+        rids = np.fromiter((s.id for s in usable), np.int64, n)
+        ign = (start + end + 10) >= lens
+        live = ~ign
+        set_front = live & (found_f | ((end > start) & (start > 0)))
+        set_back = live & (found_b | ((end > start) & (end < lens)))
+        for i in np.flatnonzero(ign):
+            seqs.set_ignore(int(rids[i]), True)
+        for i in np.flatnonzero(set_front):
+            seqs.set_front_trim(int(rids[i]), int(start[i]))
+        if self.tag_adapters:
+            for i in np.flatnonzero(live & found_f):
+                rid = int(rids[i])
+                seqs.set_name(rid, self.front_adapters[int(mi_f[i])]
+                              .get_name() + "_" + seqs.get_name(rid))
+        for i in np.flatnonzero(set_back):
+            seqs.set_back_trim(int(rids[i]), int(end[i]))
 
     # -- middle pass -------------------------------------------------------
     def _mid_min_matches(self) -> np.ndarray:
@@ -445,8 +451,13 @@ class Trimmer:
         ``trim`` without a checkpoint streams the middle pass off the
         edge pass instead, saving the second file read)."""
         stream = self._mid_stream(seqs, window_batch)
+        batch: List[Sequence] = []
         for seq in seqs.get_sequences():
-            stream.add(seq)
+            batch.append(seq)
+            if len(batch) >= 2048:
+                stream.add_batch(batch)
+                batch = []
+        stream.add_batch(batch)
         stream.finish()
 
     def _dispatch_windows(self, windows: List[Sequence]):
@@ -631,10 +642,12 @@ class _MidStream:
                      for _ in range(N_SLOTS)]
         self.slot = 0
         self.rows, self.lens = self.bufs[0]
-        self.metas: List[tuple] = []  # (rid, abs_start, orig_len)/window
+        # per-window metadata as array chunks (rid, abs_start, orig_len)
+        self.metas: List[tuple] = []
         self.count = 0
         self.detections: List[tuple] = []
         self.pending = deque()
+        self._codes_buf = None
 
     def _dispatch(self):
         if self.count == 0:
@@ -650,10 +663,16 @@ class _MidStream:
         self.lens[self.count : nb] = 0
         up = self.eng.upload_rows(self.rows[:nb], self.lens[:nb],
                                   self.count)
+        # budget the chain DP to 1 gate-passing pair per 4 windows (the
+        # chain_min gate rejects almost all interior windows; barcode-
+        # flank-dense inputs overflow and transparently re-run full-grid)
         futs = self.eng.window_verdict_dispatch_packed(
             [up + (0,)], self.min_matches, self.min_matches,
-            t.mid_threshold, self.W)
-        self.pending.append((self.metas, futs))
+            t.mid_threshold, self.W, pair_budget=max(4096, nb // 4))
+        m = self.metas
+        ms = m[0] if len(m) == 1 else tuple(
+            np.concatenate([c[i] for c in m]) for i in range(3))
+        self.pending.append((ms, futs))
         self.slot = (self.slot + 1) % len(self.bufs)
         self.rows, self.lens = self.bufs[self.slot]
         self.metas = []
@@ -663,47 +682,85 @@ class _MidStream:
 
     def _collect(self):
         ms, futs = self.pending.popleft()
+        rid_a, abs_a, len_a = ms
         for ei, ai, start, identity in \
                 self.eng.window_verdict_collect(futs):
-            rid, abs_start, orig_len = ms[int(ei)]
-            self.detections.append((rid, int(ai), abs_start + int(start),
-                                    int(identity), orig_len))
+            e = int(ei)
+            self.detections.append((int(rid_a[e]), int(ai),
+                                    int(abs_a[e]) + int(start),
+                                    int(identity), int(len_a[e])))
 
     def add(self, seq: Sequence):
         """Queue one (trimmed) read's interior windows."""
-        if not self.enabled:
+        self.add_batch([seq])
+
+    def add_batch(self, seqs_list: List[Sequence]):
+        """Queue a batch of (trimmed) reads' interior windows in one
+        numpy pass: pack every read's codes 2-bit, cut all window rows
+        with a single strided fancy-index, and keep per-window metadata
+        as arrays — the per-read version spent ~80 us/read on Python
+        allocation and tuple bookkeeping, which dominated the middle
+        pass's host side."""
+        if not self.enabled or not seqs_list:
             return
         k = self.t.k
         win, CL4, lo0, step = self.win, self.CL4, self.lo0, self.step
-        n = len(seq)
-        hi = n - EDGE_SIZE
-        if hi - lo0 < k + 4:
+        B = len(seqs_list)
+        ns_all = np.fromiter((len(s) for s in seqs_list), np.int64, B)
+        ok = (ns_all - EDGE_SIZE - lo0) >= (k + 4)
+        if not ok.any():
             return
-        last = max(lo0, ((hi - win) // 4) * 4)
-        starts = list(range(lo0, last + 1, step))
-        if starts[-1] < last:
-            starts.append(last)
-        codes = seq.codes
-        npad = ((n + 3) // 4) * 4
-        need = (starts[-1] // 4) + CL4
-        c = np.zeros(max(npad, need * 4), np.uint8)
-        c[:n] = codes
-        pr = (c[0::4] << 6) | (c[1::4] << 4) | (c[2::4] << 2) | c[3::4]
-        idx = np.asarray(starts, np.int64) // 4
-        sw = np.lib.stride_tricks.sliding_window_view(pr, CL4)
-        block = sw[idx]
-        wl = np.minimum(win, hi - np.asarray(starts)) - k + 1
-        orig_len = n + seq.offset + seq.inset
+        idxs = np.flatnonzero(ok)
+        ns = ns_all[idxs]
+        his = ns - EDGE_SIZE
+        last = np.maximum(lo0, ((his - win) // 4) * 4)
+        base = (last - lo0) // step + 1
+        tail = ((last - lo0) % step) != 0
+        nw = base + tail
+        tot = int(nw.sum())
+        cum = np.zeros(len(idxs) + 1, np.int64)
+        np.cumsum(nw, out=cum[1:])
+        rix = np.repeat(np.arange(len(idxs)), nw)
+        j = np.arange(tot) - cum[rix]
+        start = np.where(j < base[rix], lo0 + j * step, last[rix])
+        wl = (np.minimum(win, his[rix] - start) - k + 1).astype(np.int32)
+        # pack all codes in one pass (reused buffer: fresh multi-MB
+        # allocations fault pages at pathological cost here)
+        R = len(idxs)
+        L4 = int(ns.max() + 3) // 4 + CL4
+        buf = self._codes_buf
+        if buf is None or buf.shape[0] < R or buf.shape[1] < L4 * 4:
+            rows_cap = max(R, 2048)
+            width_cap = max(L4 * 4, buf.shape[1] if buf is not None else 0)
+            buf = self._codes_buf = np.zeros((rows_cap, width_cap),
+                                             np.uint8)
+        codes2 = buf[:R, : L4 * 4]
+        codes2[:] = 0
+        for r in range(R):
+            s = seqs_list[idxs[r]]
+            codes2[r, : ns[r]] = s.codes
+        c4 = codes2.reshape(R, -1, 4)
+        pr2 = (c4[:, :, 0] << 6) | (c4[:, :, 1] << 4) \
+            | (c4[:, :, 2] << 2) | c4[:, :, 3]
+        sw = np.lib.stride_tricks.sliding_window_view(pr2, CL4, axis=1)
+        block = sw[rix, start // 4]
+        offs = np.fromiter((seqs_list[i].offset for i in idxs), np.int64, R)
+        rids = np.fromiter((seqs_list[i].id for i in idxs), np.int64, R)
+        olens = ns + offs + np.fromiter(
+            (seqs_list[i].inset for i in idxs), np.int64, R)
+        m_rid = rids[rix]
+        m_abs = offs[rix] + start
+        m_len = olens[rix]
         pos = 0
-        while pos < len(starts):
-            take = min(len(starts) - pos, self.window_batch - self.count)
+        while pos < tot:
+            take = min(tot - pos, self.window_batch - self.count)
             self.rows[self.count : self.count + take] = \
                 block[pos : pos + take]
             self.lens[self.count : self.count + take] = \
                 wl[pos : pos + take]
-            for j in range(pos, pos + take):
-                self.metas.append((seq.id, seq.offset + starts[j],
-                                   orig_len))
+            self.metas.append((m_rid[pos : pos + take],
+                               m_abs[pos : pos + take],
+                               m_len[pos : pos + take]))
             self.count += take
             pos += take
             if self.count >= self.window_batch:
