@@ -88,6 +88,21 @@ def encode_bases(raw: bytes) -> Optional[np.ndarray]:
     return out
 
 
+def count_seed_kmers(codes: np.ndarray, k: int, table: np.ndarray,
+                     up_to: Optional[int] = None) -> Optional[int]:
+    L = load()
+    if L is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    tbl = np.ascontiguousarray(table, dtype=np.uint8)
+    cap = (1 << 62) if up_to is None else up_to
+    return int(L.count_seed_kmers(_ptr(codes, ctypes.c_uint8), len(codes),
+                                  k, _ptr(tbl, ctypes.c_uint8), cap))
+
+
+_ws_scratch = [np.empty(0, np.int32), np.empty(0, np.int32)]
+
+
 def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
     L = load()
     if L is None:
@@ -95,8 +110,12 @@ def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
     n = len(codes)
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     tbl = np.ascontiguousarray(table, dtype=np.uint8)
-    gaps = np.empty(n + 1, dtype=np.int32)
-    kmers = np.empty(max(1, n), dtype=np.int32)
+    # reused scratch: two fresh ~read-size allocations per call showed up
+    # in overlap query-prep profiles (page-fault pathology)
+    if _ws_scratch[0].shape[0] < n + 1:
+        _ws_scratch[0] = np.empty(max(n + 1, 65536), np.int32)
+        _ws_scratch[1] = np.empty(max(n + 1, 65536), np.int32)
+    gaps, kmers = _ws_scratch
     cnt = L.write_segments(_ptr(codes, ctypes.c_uint8), n, k,
                            _ptr(tbl, ctypes.c_uint8),
                            _ptr(gaps, ctypes.c_int32),

@@ -619,6 +619,14 @@ class MapEngine:
             return []
         q_seeds, q_pos, q_rb, q_db, num_sets, _ = \
             self.pack_queries(seed_queries)
+        # the chain DP's sequential scan runs 2 * nq steps and the walk
+        # chain_len steps — size both to the batch's real max seed count
+        # (bucketed to limit compile variants) instead of the engine cap
+        nq_eff = int((q_seeds >= 0).sum(1).max(initial=1))
+        nq_eff = min(self.nq, max(32, ((nq_eff + 31) // 32) * 32))
+        q_seeds = q_seeds[:, :nq_eff]
+        q_pos = q_pos[:, :nq_eff]
+        chain_len = min(chain_len, nq_eff)
         min_count = (self.hit_fraction * num_sets + 0.5).astype(np.int64)
         min_count[num_sets < min_sets] = 0
         MB = _bucket(M)
@@ -637,9 +645,10 @@ class MapEngine:
                 padm(np.asarray(base_min, np.int32), 1 << 20)]
         args = [self._put_data(a) for a in args]
         if not pair_budget:
-            # all-vs-all retrieves more candidates per query than mapping
-            # (~2/query observed; escalation below handles dense rounds)
-            pair_budget = max(4096, 2 * MB)
+            # all-vs-all retrieves ~coverage candidates per query (a 20x
+            # dataset sees ~11/query); 16/query avoids the 4x-escalation
+            # re-run that doubled round wall-clock at default coverage
+            pair_budget = max(4096, 16 * MB)
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
 
@@ -650,12 +659,12 @@ class MapEngine:
                 return _overlap_from_counts(
                     counts, dcounts, args[0], args[1], args[4], args[5],
                     self.t_seeds, self.t_pos, k=self.k,
-                    pair_budget=budget, variant=variant,
+                    pair_budget=budget, variant=variant, chunk=1024,
                     chain_len=chain_len, small=small)
             return _fused_overlap(*args, self.membership, self.t_seeds,
                                   self.t_pos, k=self.k, pair_budget=budget,
-                                  variant=variant, chain_len=chain_len,
-                                  small=small)
+                                  variant=variant, chunk=1024,
+                                  chain_len=chain_len, small=small)
 
         # one transfer for head+chains+count: three separate fetches cost
         # three link round trips (~0.15 s each over a tunnelled TPU)
