@@ -80,7 +80,10 @@ class Mapper:
         live on device; each query batch is one dispatch
         (``ops.map_engine``)."""
         from ..ops.map_engine import MapEngine
-        self.engine = MapEngine(self.index, self.k, nq=64, nt=256,
+        # nt=320: 10 kb chunks at the default seed rate carry ~290-315
+        # seeds (the old 256 truncated every chunk's tail ~1.5 kb out of
+        # the anchor tables)
+        self.engine = MapEngine(self.index, self.k, nq=64, nt=320,
                                 mesh=self.mesh, hit_fraction=0.25)
 
     # ------------------------------------------------------------------

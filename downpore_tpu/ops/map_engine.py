@@ -270,7 +270,7 @@ class MapEngine:
     (and, with ``variant='aligner'`` semantics handled by callers, any
     chunk-index consumer)."""
 
-    def __init__(self, index, k: int, nq: int = 64, nt: int = 256,
+    def __init__(self, index, k: int, nq: int = 64, nt: int = 320,
                  mesh=None, hit_fraction: float = 0.25):
         self.index = index
         self.k = k
@@ -530,6 +530,22 @@ class MapEngine:
         M = q_seeds.shape[0]
         if M == 0 or self.C == 0:
             return (0, None, None, None)
+        # right-size the seed axis to the batch: 1 kb map windows carry
+        # ~11 seeds (max ~28) at the default seed rate, so the engine-cap
+        # width (64) doubles the upload and quadruples the chain DP
+        # (anchors = nq * per_seed both in scan steps and width) for
+        # padding.  Run/distinct bucket counts are <= the seed count, and
+        # q_db's live entries sit within the first live(q_rb) slots, so
+        # one slice bound covers all four arrays.  Bucketed to halves of
+        # the cap to bound compile variants.
+        nq_full = self.nq
+        max_live = int((q_seeds >= 0).sum(axis=1).max(initial=1))
+        nq_eff = nq_full if max_live > nq_full // 2 else nq_full // 2
+        if nq_eff < nq_full:
+            q_seeds = q_seeds[:, :nq_eff]
+            q_pos = q_pos[:, :nq_eff]
+            q_rb = q_rb[:, :nq_eff]
+            q_db = q_db[:, :nq_eff]
         # min_count per Matches: round(hit_fraction * num_sets); queries
         # with too few usable seeds get no candidates (min_count = 0
         # never passes the > 0 check)
@@ -577,7 +593,7 @@ class MapEngine:
 
         # one combined feature transfer (q_pos | q_rb | q_db | scalars)
         # plus the seed-id array: two device_puts instead of seven
-        nq = self.nq
+        nq = q_seeds.shape[1]
         qmax = int(q_pos.max(initial=0))
         lmax = int(q_len.max(initial=0))
         dt = (np.int16 if self.H <= (1 << 15) and qmax < (1 << 15)
