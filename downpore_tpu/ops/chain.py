@@ -521,6 +521,12 @@ def _use_fixed_buckets() -> bool:
 def _bucket(n: int) -> int:
     """Round a batch size up to a bucket so jit caches stay warm."""
     if _use_fixed_buckets():
+        # one small bucket besides the 2048 grid: the mapper's mapNext /
+        # split stages dispatch tens of queries, and padding those to
+        # 2048 rows made every follow-up stage cost as much as a full
+        # batch (one extra compile variant buys a ~10x cheaper dispatch)
+        if n <= 256:
+            return 256
         return 2048 if n <= 2048 else ((n + 2047) // 2048) * 2048
     b = 8
     while b < n:

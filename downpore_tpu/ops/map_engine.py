@@ -570,7 +570,9 @@ class MapEngine:
             # fetch all scale with the budget, so it is sized tight
             # (observed ~0.3 passing pairs/row on mapping loads; this
             # allows 1/row) and collect() escalates 4x on overflow.
-            pair_budget = max(4096, MB)
+            # Small (mapNext/split) batches get a proportionally small
+            # budget: 2 pairs/row still leaves escalation rare.
+            pair_budget = max(512, 2 * MB) if MB <= 512 else max(4096, MB)
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
 
