@@ -47,6 +47,43 @@ def _count_rows(membership, buckets):
     return jnp.sum(rows.astype(jnp.int32), axis=1)
 
 
+def _derive_buckets(q_seeds, usable, H: int, hashed: bool):
+    """On-device twin of the host run/distinct bucket derivation
+    (``pack_query_windows``): run-collapse over usable seeds
+    (ref Matches semantics, seeds/seeds.go:335-353), hash to buckets,
+    mark first occurrences.  Exact whenever every extracted seed of a
+    row fits the shipped ``q_seeds`` width (the caller's guard) — slot
+    layout differs from the host's compacted arrays, but retrieval only
+    sums membership rows per live slot, so layout is irrelevant.
+
+    Shipping seeds only (and deriving buckets here) halves the
+    host->device transfer of every map dispatch."""
+    M, nq = q_seeds.shape
+    live = q_seeds >= 0
+    us = live & (jnp.take(usable, jnp.clip(q_seeds, 0)) > 0)
+    idx = jnp.where(us, jnp.arange(nq, dtype=jnp.int32)[None, :], -1)
+    pa = jax.lax.cummax(idx, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((M, 1), -1, pa.dtype), pa[:, :-1]], axis=1)
+    pv = jnp.take_along_axis(q_seeds, jnp.clip(prev, 0), axis=1)
+    pv = jnp.where(prev >= 0, pv, -2)
+    run_start = us & (pv != q_seeds)
+    if hashed:
+        # H is always a power of two (choose_hash_size), so the uint32
+        # wrap-around product reproduces numpy's 64-bit (id * knuth) % H
+        b = ((q_seeds.astype(jnp.uint32) * jnp.uint32(2654435761))
+             & jnp.uint32(H - 1)).astype(jnp.int32)
+    else:
+        b = q_seeds
+    rb = jnp.where(run_start, b, -1)
+    eq = (rb[:, :, None] == rb[:, None, :]) \
+        & (rb[:, :, None] >= 0) & (rb[:, None, :] >= 0)
+    earlier = jnp.tril(jnp.ones((nq, nq), bool), -1)[None]
+    dup = jnp.any(eq & earlier, axis=2)
+    db = jnp.where(run_start & ~dup, rb, -1)
+    return rb, db
+
+
 def make_sharded_counts(mesh):
     """Seed-axis-sharded retrieval (SURVEY §2.3's genome-scale answer):
     the membership matrix rows shard over the mesh's ``seed`` axis (each
@@ -171,6 +208,32 @@ def _fused_map_c(a_c, q_seeds, membership, t_seeds, t_pos,
                             q_pos, min_count, base_min, q_len,
                             t_seeds, t_pos, k=k, pair_budget=pair_budget,
                             top_k=top_k, chunk=chunk, small=small)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
+                                              "chunk", "small", "nq",
+                                              "hashed"))
+def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
+                 k: int, pair_budget: int, top_k: int = 4,
+                 chunk: int = 1024, small: bool = False, nq: int = 64,
+                 hashed: bool = False):
+    """``_fused_map_c`` with the run/distinct bucket arrays DERIVED on
+    device from the seed ids (``_derive_buckets``) instead of shipped:
+    ``a_c [M, nq + 3]`` carries only q_pos | (min_count, base_min,
+    q_len) — the dominant map upload drops by half."""
+    a = a_c.astype(jnp.int32)
+    q_pos = a[:, :nq]
+    min_count = a[:, nq]
+    base_min = a[:, nq + 1]
+    q_len = a[:, nq + 2]
+    qs = q_seeds.astype(jnp.int32)
+    q_rb, q_db = _derive_buckets(qs, usable, membership.shape[0], hashed)
+    counts = _count_rows(membership, q_rb)
+    dcounts = _count_rows(membership, q_db)
+    return _map_from_counts(counts, dcounts, qs, q_pos, min_count,
+                            base_min, q_len, t_seeds, t_pos, k=k,
+                            pair_budget=pair_budget, top_k=top_k,
+                            chunk=chunk, small=small)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
@@ -340,6 +403,9 @@ class MapEngine:
         if index._seed_counts is None:
             index.index_sequences()
         self.usable = np.asarray(index._seed_counts) < max(1, C)
+        # resident mask for on-device bucket derivation (_derive_buckets)
+        self.usable_dev = self._put(self.usable.astype(np.int8))
+        self._hashed = self.num_seeds > self.H
 
     # -- batch-vectorized window packing --------------------------------
     _NQS = 192  # seed-scan width: run-collapse is exact for windows with
@@ -593,15 +659,47 @@ class MapEngine:
 
             return (M, call(pair_budget), pair_budget, call)
 
-        # one combined feature transfer (q_pos | q_rb | q_db | scalars)
-        # plus the seed-id array: two device_puts instead of seven
         nq = q_seeds.shape[1]
         qmax = int(q_pos.max(initial=0))
         lmax = int(q_len.max(initial=0))
+        Mq = q_pos.shape[0]
+        sdt = np.int16 if self.num_seeds < (1 << 15) else np.int32
+
+        # when every extracted seed of every row fits the shipped width,
+        # the run/distinct buckets are a pure function of (q_seeds,
+        # usable) and are derived ON DEVICE — the upload halves
+        # (1 kb map windows carry ~11-28 seeds, so this is the standard
+        # path; repeat-heavy batches fall back to shipping buckets)
+        num_seeds_arr = packed[6] if len(packed) > 6 else None
+        derive = (num_seeds_arr is not None and Mq > 0
+                  and int(np.max(num_seeds_arr, initial=0)) <= nq)
+        if derive:
+            dt = (np.int16 if qmax < (1 << 15) and lmax < (1 << 15)
+                  else np.int32)
+            a_c = np.empty((MB, nq + 3), dt)
+            a_c[:Mq, :nq] = q_pos
+            a_c[:Mq, nq] = min_count
+            a_c[:Mq, nq + 1] = np.minimum(np.asarray(base_min), 1 << 14)
+            a_c[:Mq, nq + 2] = q_len
+            a_c[Mq:] = 0
+            a_dev = self._put_data(a_c)
+            s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
+
+            def call(budget):
+                return _fused_map_d(a_dev, s_dev, self.usable_dev,
+                                    self.membership, self.t_seeds,
+                                    self.t_pos, k=self.k,
+                                    pair_budget=budget, top_k=top_k,
+                                    small=small, nq=nq,
+                                    hashed=self._hashed)
+
+            return (M, call(pair_budget), pair_budget, call)
+
+        # one combined feature transfer (q_pos | q_rb | q_db | scalars)
+        # plus the seed-id array: two device_puts instead of seven
         dt = (np.int16 if self.H <= (1 << 15) and qmax < (1 << 15)
               and lmax < (1 << 15) else np.int32)
         a_c = np.empty((MB, 3 * nq + 3), dt)
-        Mq = q_pos.shape[0]
         a_c[:Mq, :nq] = q_pos
         a_c[:Mq, nq : 2 * nq] = q_rb
         a_c[:Mq, 2 * nq : 3 * nq] = q_db
@@ -610,7 +708,6 @@ class MapEngine:
         a_c[:Mq, 3 * nq + 2] = q_len
         a_c[Mq:] = 0
         a_c[Mq:, nq : 3 * nq] = -1
-        sdt = np.int16 if self.num_seeds < (1 << 15) else np.int32
         a_dev = self._put_data(a_c)
         s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
 

@@ -154,3 +154,82 @@ def test_map_data_parallel_identical(genome_and_mapper):
                for ms in dp_mapper.map_batch(reads)]
     assert single == sharded
     assert sum(len(ms) for ms in single) >= 10
+
+
+def test_derived_buckets_match_shipped(genome_and_mapper):
+    """The on-device run/distinct bucket derivation (_derive_buckets)
+    must reproduce the host-packed q_rb/q_db retrieval counts exactly
+    whenever every extracted seed fits the shipped width."""
+    import jax
+    import jax.numpy as jnp
+    from downpore_tpu.ops.map_engine import _derive_buckets, _count_rows
+
+    genome, mapper, rng = genome_and_mapper
+    eng = mapper.engine
+    windows = []
+    for _ in range(32):
+        p = int(rng.integers(0, len(genome) - 1000))
+        w = genome.subsequence(p, p + 1000)
+        windows.append(w)
+    packed = eng.pack_query_windows(windows)
+    q_seeds, q_pos, q_rb, q_db, num_sets, q_len, num_seeds = packed
+    nq = q_seeds.shape[1]
+    assert int(num_seeds.max()) <= nq, "fixture must fit the width"
+    rb_d, db_d = jax.jit(
+        _derive_buckets, static_argnames=("H", "hashed"))(
+            jnp.asarray(q_seeds, jnp.int32), eng.usable_dev,
+            H=eng.H, hashed=eng._hashed)
+    mem = jnp.asarray(np.asarray(eng.membership))
+    c_host = np.asarray(_count_rows(mem, jnp.asarray(q_rb, jnp.int32)))
+    c_dev = np.asarray(_count_rows(mem, rb_d))
+    np.testing.assert_array_equal(c_host, c_dev)
+    d_host = np.asarray(_count_rows(mem, jnp.asarray(q_db, jnp.int32)))
+    d_dev = np.asarray(_count_rows(mem, db_d))
+    np.testing.assert_array_equal(d_host, d_dev)
+
+
+def test_derived_buckets_hashed_parity():
+    """Forced-hash case: device uint32 wrap hash == numpy 64-bit hash
+    (H is a power of two) and duplicate-bucket collapse matches."""
+    import jax.numpy as jnp
+    from downpore_tpu.ops.map_engine import _derive_buckets, _count_rows
+    from downpore_tpu.ops import match as match_ops
+
+    rng = np.random.default_rng(3)
+    S, H, M, nq, C = 5000, 1024, 16, 24, 8
+    usable = rng.random(S) < 0.9
+    q_seeds = np.full((M, nq), -1, np.int64)
+    for i in range(M):
+        n = int(rng.integers(3, nq + 1))
+        q_seeds[i, :n] = rng.integers(0, S, n)
+    # host derivation (pack_query_windows semantics)
+    rb_h = np.full((M, nq), -1, np.int64)
+    db_h = np.full((M, nq), -1, np.int64)
+    for i in range(M):
+        prev = -2
+        runs = []
+        for s in q_seeds[i]:
+            if s < 0:
+                break
+            if usable[s]:
+                if s != prev:
+                    runs.append(int(s))
+                prev = s
+            # NOTE: prev only advances on usable seeds, matching
+            # pack_query_windows' maximum.accumulate over usable slots
+        rb = match_ops.hash_ids(np.array(runs, np.int64), S, H)
+        rb_h[i, :len(rb)] = rb
+        db = np.unique(rb)
+        db_h[i, :len(db)] = db
+    mem = rng.integers(0, 2, (H, C)).astype(np.int8)
+    rb_d, db_d = _derive_buckets(
+        jnp.asarray(q_seeds, jnp.int32),
+        jnp.asarray(usable.astype(np.int8)), H=H, hashed=True)
+    c_h = np.asarray(_count_rows(jnp.asarray(mem),
+                                 jnp.asarray(rb_h, jnp.int32)))
+    c_d = np.asarray(_count_rows(jnp.asarray(mem), rb_d))
+    np.testing.assert_array_equal(c_h, c_d)
+    d_h = np.asarray(_count_rows(jnp.asarray(mem),
+                                 jnp.asarray(db_h, jnp.int32)))
+    d_d = np.asarray(_count_rows(jnp.asarray(mem), db_d))
+    np.testing.assert_array_equal(d_h, d_d)
