@@ -268,6 +268,32 @@ def _fused_overlap(q_seeds, q_pos, q_rb, q_db, min_count, base_min,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
+                                              "chunk", "chain_len", "small",
+                                              "nq", "hashed"))
+def _fused_overlap_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
+                     k: int, pair_budget: int, variant: str = "aligner",
+                     chunk: int = 512, chain_len: int = 128,
+                     small: bool = False, nq: int = 64,
+                     hashed: bool = False):
+    """``_fused_overlap`` with buckets derived on device
+    (``_derive_buckets``) and the per-query features combined into ONE
+    transfer: ``a_c [M, nq + 2]`` = q_pos | (min_count, base_min)."""
+    a = a_c.astype(jnp.int32)
+    q_pos = a[:, :nq]
+    min_count = a[:, nq]
+    base_min = a[:, nq + 1]
+    qs = q_seeds.astype(jnp.int32)
+    q_rb, q_db = _derive_buckets(qs, usable, membership.shape[0], hashed)
+    counts = _count_rows(membership, q_rb)
+    dcounts = _count_rows(membership, q_db)
+    return _overlap_from_counts(counts, dcounts, qs, q_pos, min_count,
+                                base_min, t_seeds, t_pos, k=k,
+                                pair_budget=pair_budget, variant=variant,
+                                chunk=chunk, chain_len=chain_len,
+                                small=small)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
                                               "chunk", "chain_len", "small"))
 def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
                          base_min, t_seeds, t_pos,
@@ -755,10 +781,6 @@ class MapEngine:
             shape = (MB - a.shape[0],) + a.shape[1:]
             return np.concatenate([a, np.full(shape, fill, a.dtype)])
 
-        args = [padm(q_seeds, -1), padm(q_pos, 0), padm(q_rb, -1),
-                padm(q_db, -1), padm(min_count.astype(np.int32), 0),
-                padm(np.asarray(base_min, np.int32), 1 << 20)]
-        args = [self._put_data(a) for a in args]
         if not pair_budget:
             # all-vs-all retrieves ~coverage candidates per query (a 20x
             # dataset sees ~11/query); 16/query avoids the 4x-escalation
@@ -767,19 +789,53 @@ class MapEngine:
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
 
-        def call(budget):
-            if self.seed_sharded:
-                counts = self._sharded_counts(self.membership, args[2])
-                dcounts = self._sharded_counts(self.membership, args[3])
-                return _overlap_from_counts(
-                    counts, dcounts, args[0], args[1], args[4], args[5],
+        # on-device bucket derivation when every query's full seed list
+        # fits the shipped width (same guard as dispatch_packed): drops
+        # q_rb/q_db from the upload and folds the rest into ONE transfer
+        max_ns = max((len(q.seeds) for q in seed_queries), default=0)
+        if not self.seed_sharded and max_ns <= nq_eff:
+            qmax = int(q_pos.max(initial=0))
+            dt = np.int16 if qmax < (1 << 15) else np.int32
+            Mq = q_pos.shape[0]
+            a_c = np.zeros((MB, nq_eff + 2), dt)
+            a_c[:Mq, :nq_eff] = q_pos
+            a_c[:Mq, nq_eff] = min_count
+            a_c[:Mq, nq_eff + 1] = np.minimum(np.asarray(base_min),
+                                              1 << 14)
+            a_c[Mq:, nq_eff + 1] = 1 << 14
+            sdt = np.int16 if self.num_seeds < (1 << 15) else np.int32
+            a_dev = self._put_data(a_c)
+            s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
+
+            def call(budget):
+                return _fused_overlap_d(
+                    a_dev, s_dev, self.usable_dev, self.membership,
                     self.t_seeds, self.t_pos, k=self.k,
                     pair_budget=budget, variant=variant, chunk=1024,
-                    chain_len=chain_len, small=small)
-            return _fused_overlap(*args, self.membership, self.t_seeds,
-                                  self.t_pos, k=self.k, pair_budget=budget,
-                                  variant=variant, chunk=1024,
-                                  chain_len=chain_len, small=small)
+                    chain_len=chain_len, small=small, nq=nq_eff,
+                    hashed=self._hashed)
+        else:
+            args = [padm(q_seeds, -1), padm(q_pos, 0), padm(q_rb, -1),
+                    padm(q_db, -1), padm(min_count.astype(np.int32), 0),
+                    padm(np.asarray(base_min, np.int32), 1 << 20)]
+            args = [self._put_data(a) for a in args]
+
+            def call(budget):
+                if self.seed_sharded:
+                    counts = self._sharded_counts(self.membership,
+                                                  args[2])
+                    dcounts = self._sharded_counts(self.membership,
+                                                   args[3])
+                    return _overlap_from_counts(
+                        counts, dcounts, args[0], args[1], args[4],
+                        args[5], self.t_seeds, self.t_pos, k=self.k,
+                        pair_budget=budget, variant=variant, chunk=1024,
+                        chain_len=chain_len, small=small)
+                return _fused_overlap(*args, self.membership,
+                                      self.t_seeds, self.t_pos, k=self.k,
+                                      pair_budget=budget, variant=variant,
+                                      chunk=1024, chain_len=chain_len,
+                                      small=small)
 
         # one transfer for head+chains+count: three separate fetches cost
         # three link round trips (~0.15 s each over a tunnelled TPU)
