@@ -65,6 +65,11 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p,
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
             i32p, i64p, ctypes.c_int32]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        L.add_seeds_walk.argtypes = [i32p, f64p, u8p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int32,
+                                     ctypes.c_int64, i32p]
+        L.add_seeds_walk.restype = ctypes.c_int64
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -162,6 +167,26 @@ def pack_windows(codes: np.ndarray, off: np.ndarray, lens: np.ndarray,
         _ptr(q_rb, ctypes.c_int32), _ptr(q_db, ctypes.c_int32),
         _ptr(num_sets, ctypes.c_int32), _ptr(num_seeds, ctypes.c_int64), nt)
     return q_seeds, q_pos, q_rb, q_db, num_sets, num_seeds
+
+
+def add_seeds_walk(kmers: np.ndarray, values: np.ndarray,
+                   in_index: np.ndarray, n: int, k: int, cap: int):
+    """Windowed top-N seed-selection walk (exact twin of the Python loop
+    in ``SeedIndex.add_seeds``); returns selected k-mers in add order, or
+    None without the toolchain."""
+    L = load()
+    if L is None or not hasattr(L, "add_seeds_walk"):
+        return None
+    kmers = np.ascontiguousarray(kmers, dtype=np.int32)
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    in_index = np.ascontiguousarray(in_index, dtype=np.uint8)
+    out = np.empty(max(1, cap), np.int32)
+    cnt = L.add_seeds_walk(_ptr(kmers, ctypes.c_int32),
+                           _ptr(values, ctypes.c_double),
+                           _ptr(in_index, ctypes.c_uint8),
+                           len(kmers), n, k, cap,
+                           _ptr(out, ctypes.c_int32))
+    return out[:cnt]
 
 
 def index_fastq(buf: bytes):

@@ -94,6 +94,18 @@ class SeedIndex:
             centre = np.clip(centre, 0, len(q) - 1)
             values = values * q[centre].astype(np.float64)
         in_index = self.kmer_table[kmers]
+
+        from .. import native
+        nat = native.add_seeds_walk(kmers, values, in_index, n, k,
+                                    min_seeds - count)
+        if nat is not None:
+            for kmer in nat:
+                self._add_seed_kmer(int(kmer))
+                self._add_seed_kmer(kmer_reverse_complement(int(kmer), k))
+            self._membership = None
+            self._seed_counts = None
+            return
+
         top_n: List[int] = []
         top_vals: List[float] = []
 

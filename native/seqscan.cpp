@@ -270,3 +270,61 @@ extern "C" void pack_windows(const uint8_t* codes, const int64_t* off,
     }
     for (auto& th : ts) th.join();
 }
+
+// Windowed top-N seed selection walk (AddSeeds, ref: seeds/seeds.go:62-156,
+// mirroring seeds.seed_index.add_seeds): walk k-length blocks, a block
+// containing an existing seed resets, otherwise push the block's best-value
+// k-mer into a bounded ascending insertion list (earliest wins on ties).
+// Returns the number of selected k-mers, written to out_kmers in the exact
+// order the Python list iteration adds them (ascending value).
+extern "C" int64_t add_seeds_walk(const int32_t* kmers, const double* values,
+                                  const uint8_t* in_index, int64_t nk,
+                                  int64_t n, int32_t k, int64_t cap,
+                                  int32_t* out_kmers) {
+    if (cap <= 0) return 0;
+    std::vector<int32_t> top_n;
+    std::vector<double> top_vals;
+    top_n.reserve(cap);
+    top_vals.reserve(cap);
+    int64_t next_index = k;
+    while (next_index < n - k) {
+        bool reset = false;
+        double best_value = 0.0;
+        int64_t best_seed = -1;
+        int32_t steps = 0;
+        while (next_index < n && steps < k) {
+            const int64_t ki = next_index - k + 1;
+            const int32_t kmer = ki < nk ? kmers[ki] : 0;
+            next_index++;
+            steps++;
+            if (ki < nk && in_index[ki]) { reset = true; break; }
+            const double value = ki < nk ? values[ki] : 0.0;
+            if (value > best_value) { best_value = value; best_seed = kmer; }
+        }
+        if (!reset && best_seed >= 0) {
+            if ((int64_t)top_n.size() < cap) {
+                top_n.push_back((int32_t)best_seed);
+                top_vals.push_back(best_value);
+                size_t i = top_n.size() - 1;
+                while (i > 0 && top_vals[i - 1] > top_vals[i]) {
+                    std::swap(top_vals[i - 1], top_vals[i]);
+                    std::swap(top_n[i - 1], top_n[i]);
+                    i--;
+                }
+            } else if (best_value > top_vals[0]) {
+                top_vals[0] = best_value;
+                top_n[0] = (int32_t)best_seed;
+                size_t i = 0;
+                while (i + 1 < top_vals.size()
+                       && top_vals[i] > top_vals[i + 1]) {
+                    std::swap(top_vals[i], top_vals[i + 1]);
+                    std::swap(top_n[i], top_n[i + 1]);
+                    i++;
+                }
+            }
+        }
+        next_index += 2 * k;
+    }
+    for (size_t i = 0; i < top_n.size(); i++) out_kmers[i] = top_n[i];
+    return (int64_t)top_n.size();
+}

@@ -278,3 +278,34 @@ def test_cluster_consensus_recovers_truth():
     order = [ti[int(s)] for s in target.seeds if int(s) in ti]
     assert order == sorted(order)
     assert len(order) >= n // 2      # most truth seeds recovered
+
+
+def test_native_add_seeds_walk_parity():
+    """Native add_seeds_walk must reproduce the Python walk exactly
+    (block resets, bounded ascending insert, tie order)."""
+    import numpy as np
+    from downpore_tpu import native
+    from downpore_tpu.seeds import SeedIndex
+    from downpore_tpu.core import Sequence
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    k = 10
+    vals = rng.random(4 ** k)
+    for trial in range(5):
+        seq = Sequence.from_string(
+            "".join("ACGT"[i] for i in rng.integers(0, 4, 1000)), id=trial)
+        i1, i2 = SeedIndex(k), SeedIndex(k)
+        for km in rng.integers(0, 4 ** k, 50):
+            i1._add_seed_kmer(int(km))
+            i2._add_seed_kmer(int(km))
+        i1.add_seeds(seq, 15, vals)
+        orig = native.add_seeds_walk
+        native.add_seeds_walk = lambda *a, **kw: None
+        try:
+            i2.add_seeds(seq, 15, vals)
+        finally:
+            native.add_seeds_walk = orig
+        assert i1.seed_map == i2.seed_map
