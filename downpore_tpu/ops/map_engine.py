@@ -784,8 +784,10 @@ class MapEngine:
         if not pair_budget:
             # all-vs-all retrieves ~coverage candidates per query (a 20x
             # dataset sees ~11/query); 16/query avoids the 4x-escalation
-            # re-run that doubled round wall-clock at default coverage
-            pair_budget = max(4096, 16 * MB)
+            # re-run that doubled round wall-clock at default coverage.
+            # Sized to the REAL query count (budget drives the chain-DP
+            # cost), bucketed to a 4096 grid for compile-cache reuse.
+            pair_budget = max(4096, ((16 * M + 4095) // 4096) * 4096)
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
 

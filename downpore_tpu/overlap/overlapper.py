@@ -214,7 +214,13 @@ class Overlapper:
         from ..ops.map_engine import MapEngine
         if self.index._seed_counts is None:
             self.index.index_sequences()
-        eng = MapEngine(self.index, self.index.k, nq=128, nt=256,
+        # size the target-seed axis to the round's real chunks: reads
+        # shorter than chunk_size index as ONE chunk carrying all their
+        # seeds (ref chunkWorker, overlap/overlap.go:255-259), so a fixed
+        # cap would silently drop tail anchors of mid-length reads
+        nt = max((s.num_seeds for s in self.index.sequences), default=1)
+        nt = min(1024, ((nt + 63) // 64) * 64)
+        eng = MapEngine(self.index, self.index.k, nq=128, nt=nt,
                         mesh=self.mesh, hit_fraction=self.hit_fraction)
         base_min = np.array(
             [int(self.hit_fraction * q.query.num_seeds + 0.5)
