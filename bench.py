@@ -214,6 +214,29 @@ def bench_map():
     note(f"map elapsed={elapsed:.1f}s reads={n_reads} "
          f"mapped={n_mapped} index_build={t_index:.1f}s "
          f"reads_per_s={n_reads / elapsed:.0f}")
+
+    # stage breakdown for one steady-state 4096-window dispatch
+    import jax
+    eng = mapper.engine
+    windows = []
+    for r in reads[:2048]:
+        windows.append(r.subsequence(0, 1000))
+        windows.append(r.subsequence(len(r) - 1000, len(r)))
+    t0 = time.time()
+    packed = eng.pack_query_windows(windows)
+    base_min = np.maximum(5, packed[6] // 5).astype(np.int32)
+    t1 = time.time()
+    futs = eng.dispatch_packed(packed, base_min)
+    if futs[1] is not None:
+        jax.block_until_ready(futs[1])
+    t2 = time.time()
+    eng.collect_arrays(futs)
+    t3 = time.time()
+    pack, comp, fetch = t1 - t0, t2 - t1, t3 - t2
+    total = max(1e-9, t3 - t0)
+    note(f"map stage breakdown (4096 windows): pack={pack:.2f}s "
+         f"compute={comp:.2f}s fetch={fetch:.2f}s "
+         f"fetch_frac={fetch / total:.2f} busy_frac={comp / total:.2f}")
     emit("map_bases_per_s", bases_s, "bases/s", bases_s / ref_bases_s)
 
 
