@@ -76,23 +76,40 @@ class OverlapCommand(Command):
                 round_no = int(progress.get("round", 0))
                 print(f"Resuming from round {round_no} "
                       f"(sequence {first_sequence}).", file=sys.stderr)
-        while True:
+        def prep_round(first):
+            """Host half of a round: fresh index, query prep, chunk
+            indexing.  Independent of any earlier round's results, so it
+            runs while the previous round's find is in flight."""
             index = SeedIndex(k)
             overlapper = Overlapper(index, chunk_size, overlap_size,
                                     num_seeds, hit_fraction, mesh=mesh)
-            seqs = seq_set.get_n_sequences_from(first_sequence,
-                                                query_batch_size)
+            seqs = seq_set.get_n_sequences_from(first, query_batch_size)
             queries = overlapper.prepare_queries(
                 num_seeds, seed_batch_size, values, seqs, QUERY_EDGES)
             if not queries:
-                break
-            num_query_seqs = max(q.id for q in queries) + 1
-            first_sequence = max(q.sequence_id for q in queries) + 1
+                return None
             overlapper.add_sequences(seq_set.get_sequences())
+            nxt = max(q.sequence_id for q in queries) + 1
+            return index, overlapper, queries, nxt
+
+        prepped = prep_round(first_sequence)
+        while prepped is not None:
+            index, overlapper, queries, next_first = prepped
+            num_query_seqs = max(q.id for q in queries) + 1
             print(f"Using query set with {num_query_seqs} sequences "
-                  f"starting from {first_sequence} against "
+                  f"starting from {next_first} against "
                   f"{seq_set.size} sequences.", file=sys.stderr)
-            matches = overlapper.find_overlaps(queries)
+            futs = overlapper.dispatch_find(queries)
+            # SPECULATIVELY prep the next round while this round's find
+            # is in flight on device.  The prep depends on the read
+            # set's ignore flags, which this round's final check may
+            # still change (full-coverage ignores, ref
+            # commands/overlap.go:205,221-223) — snapshot the flags and
+            # redo the prep below if they moved, so output stays
+            # identical to the unpipelined driver.
+            ignores_before = sum(seq_set.ignore)
+            prepped = prep_round(next_first)
+            matches = overlapper.collect_find(queries, futs)
             query_results = [[] for _ in range(num_query_seqs)]
             hits = 0
             for m in matches:
@@ -103,11 +120,18 @@ class OverlapCommand(Command):
                   file=sys.stderr)
             for results in query_results:
                 if len(results) > 1:
-                    self._final_check(results, index, seq_set, overlap_size)
+                    self._final_check(results, index, seq_set,
+                                      overlap_size)
+            first_sequence = next_first
             round_no += 1
             if ckpt:
-                seq_set.save_state(ckpt, {"first_sequence": first_sequence,
-                                          "round": round_no})
+                seq_set.save_state(ckpt,
+                                   {"first_sequence": first_sequence,
+                                    "round": round_no})
+            if prepped is not None and sum(seq_set.ignore) != ignores_before:
+                # this round ignored reads: the speculative prep saw
+                # stale flags — discard and redo it
+                prepped = prep_round(first_sequence)
 
     def _final_check(self, results, index, seq_set, overlap_size):
         """PAF emission + full-coverage ignore

@@ -747,7 +747,8 @@ class MapEngine:
 
     def query_chains(self, seed_queries: List, base_min: np.ndarray,
                      pair_budget: int = 0, chain_len: int = 128,
-                     variant: str = "aligner", min_sets: int = 5):
+                     variant: str = "aligner", min_sets: int = 5,
+                     _defer: bool = False):
         """Fused retrieval + gate + chain + best-chain extraction.
 
         Returns per query a list of (chunk idx, distinct count, best
@@ -839,9 +840,27 @@ class MapEngine:
                                       chunk=1024, chain_len=chain_len,
                                       small=small)
 
+        futs = (M, call(pair_budget), pair_budget, call, chain_len)
+        return futs if _defer else self.collect_chains(futs)
+
+    def dispatch_chains(self, seed_queries: List, base_min: np.ndarray,
+                        pair_budget: int = 0, chain_len: int = 128,
+                        variant: str = "aligner", min_sets: int = 5):
+        """Async half of ``query_chains``: enqueue the fused dispatch and
+        return a future tuple for ``collect_chains`` — callers overlap
+        host work (e.g. the next round's query prep) with the device."""
+        return self.query_chains(seed_queries, base_min, pair_budget,
+                                 chain_len, variant, min_sets,
+                                 _defer=True)
+
+    def collect_chains(self, futs):
+        """Blocking half of ``query_chains``."""
+        if isinstance(futs, list):       # empty-input fast path
+            return futs
+        M, fut, pair_budget, call, chain_len = futs
         # one transfer for head+chains+count: three separate fetches cost
         # three link round trips (~0.15 s each over a tunnelled TPU)
-        head, chains, n = jax.device_get(call(pair_budget))
+        head, chains, n = jax.device_get(fut)
         n = int(n)
         while n > pair_budget:
             pair_budget *= 4

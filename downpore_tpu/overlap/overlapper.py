@@ -209,8 +209,15 @@ class Overlapper:
         on device (``ops.map_engine._fused_overlap``); the host applies
         only the sequential adaptive min-match rule to the compact
         result rows."""
+        futs = self.dispatch_find(queries)
+        return self.collect_find(queries, futs)
+
+    def dispatch_find(self, queries: List[SeedQuery]):
+        """Async half of ``find_overlaps``: build the device engine and
+        enqueue the fused dispatch; the caller may do host work (e.g. the
+        next round's query prep) before ``collect_find``."""
         if not queries or self.index.num_sequences == 0:
-            return []
+            return None
         from ..ops.map_engine import MapEngine
         if self.index._seed_counts is None:
             self.index.index_sequences()
@@ -225,7 +232,17 @@ class Overlapper:
         base_min = np.array(
             [int(self.hit_fraction * q.query.num_seeds + 0.5)
              for q in queries], np.int32)
-        per_meta = eng.query_chains([q.query for q in queries], base_min)
+        return eng, eng.dispatch_chains([q.query for q in queries],
+                                        base_min)
+
+    def collect_find(self, queries: List[SeedQuery],
+                     futs) -> List[SeedMatch]:
+        """Blocking half of ``find_overlaps`` (ref matchWorker collation,
+        overlap/overlap.go:346-387)."""
+        if futs is None:
+            return []
+        eng, chain_futs = futs
+        per_meta = eng.collect_chains(chain_futs)
         results: List[SeedMatch] = []
         for qi, q in enumerate(queries):
             min_m = int(self.hit_fraction * q.query.num_seeds + 0.5)
