@@ -266,3 +266,38 @@ def test_subseq_cli_golden(capsys, monkeypatch, tmp_path):
         f"gamma not found in {p}",
         "No sequence found.",
     ]
+
+
+def test_overlap_checkpoint_resume(capsys, overlap_reads, tmp_path,
+                                   monkeypatch):
+    """An interrupted multi-round overlap run resumed via -checkpoint
+    must produce the full run's stdout exactly (round-boundary snapshots;
+    the pipelined round driver speculates the next round's prep, so this
+    also pins the speculation/redo path)."""
+    path, _ = overlap_reads
+    ck = str(tmp_path / "ck.json")
+    # full run, multi-round (small query batches force >= 3 rounds)
+    argv = ["overlap", "-input", path, "-query_batch_size", "12"]
+    full = _run(capsys, argv)
+    assert full.count("\n") > 0
+
+    # interrupted run: die right after the FIRST round's checkpoint save
+    from downpore_tpu.io import seqio as seqio_mod
+    orig_save = seqio_mod.SequenceSet.save_state
+    calls = {"n": 0}
+
+    def save_then_die(self, path_, extra=None):
+        orig_save(self, path_, extra)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(seqio_mod.SequenceSet, "save_state", save_then_die)
+    with pytest.raises(KeyboardInterrupt):
+        main(argv + ["-checkpoint", ck])
+    part1 = capsys.readouterr().out
+    monkeypatch.setattr(seqio_mod.SequenceSet, "save_state", orig_save)
+
+    # resume and finish
+    part2 = _run(capsys, argv + ["-checkpoint", ck])
+    assert part1 + part2 == full
