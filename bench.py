@@ -297,7 +297,9 @@ def bench_consensus():
 
     rng = np.random.default_rng(SEED + 30)
     k = 5
-    n_jobs, n_members, core_len = 64, 6, 500
+    # 256 jobs ~ one correct-round's consensus load; 64 underfills the
+    # vmapped beam (device time is nearly flat in job count up to ~256)
+    n_jobs, n_members, core_len = 256, 6, 500
 
     def job_kmers():
         core = BASES[rng.integers(0, 4, core_len + k - 1)]
@@ -318,7 +320,9 @@ def bench_consensus():
     table = SimpleMeasure(k).pair_table()
     # simple_k engages the arithmetic distance (the production path for
     # the default SimpleMeasure; consensus/consensus.py:153-156)
-    consensus_kmers_bulk(jobs[:4], table, k, simple_k=k)  # warmup compiles
+    # warmup with the full job set: a smaller slice pads to a different
+    # bucket and the first timed run would compile
+    consensus_kmers_bulk(jobs, table, k, simple_k=k)
     elapsed = None
     for _ in range(2):
         t1 = time.time()
