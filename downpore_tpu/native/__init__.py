@@ -70,6 +70,10 @@ def load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int64, ctypes.c_int32,
                                      ctypes.c_int64, i32p]
         L.add_seeds_walk.restype = ctypes.c_int64
+        L.add_single_seeds_walk.argtypes = [i32p, f64p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_int32,
+                                            ctypes.c_int64, u8p, i32p]
+        L.add_single_seeds_walk.restype = ctypes.c_int64
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -186,6 +190,27 @@ def add_seeds_walk(kmers: np.ndarray, values: np.ndarray,
                            _ptr(in_index, ctypes.c_uint8),
                            len(kmers), n, k, cap,
                            _ptr(out, ctypes.c_int32))
+    return out[:cnt]
+
+
+def add_single_seeds_walk(kmers: np.ndarray, vals: np.ndarray, n: int,
+                          k: int, seed_rate: int, table: np.ndarray):
+    """Live-table windowed single-seed selection (exact twin of the
+    Python loop in ``SeedIndex.add_single_seeds``).  ``table`` (bool,
+    4^k) is updated IN PLACE; returns selected k-mers in order, or None
+    without the toolchain."""
+    L = load()
+    if L is None or not hasattr(L, "add_single_seeds_walk"):
+        return None
+    assert table.dtype == np.bool_ and table.flags.c_contiguous
+    kmers = np.ascontiguousarray(kmers, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    out = np.empty(max(1, n // max(1, seed_rate) + 1), np.int32)
+    cnt = L.add_single_seeds_walk(
+        _ptr(kmers, ctypes.c_int32), _ptr(vals, ctypes.c_double),
+        len(kmers), n, k, seed_rate,
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(out, ctypes.c_int32))
     return out[:cnt]
 
 

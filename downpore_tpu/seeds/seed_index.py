@@ -171,14 +171,25 @@ class SeedIndex:
         if kmers.size == 0:
             return
         vals = ranks[kmers]
-        for i in range(0, n - seed_rate, seed_rate):
-            # kmers fully inside [i, i+seed_rate): starts i .. i+seed_rate-k
-            lo, hi = i, i + seed_rate - k + 1
-            # live lookup so seeds added by earlier windows are seen
-            if self.kmer_table[kmers[lo:hi]].any():
-                continue
-            j = lo + int(np.argmax(vals[lo:hi]))
-            self._add_seed_kmer(int(kmers[j]))
+        from .. import native
+        nat = native.add_single_seeds_walk(kmers, vals, n, k, seed_rate,
+                                           self.kmer_table)
+        if nat is not None:
+            # the native walk already set kmer_table bits; register ids
+            for km in nat:
+                km = int(km)
+                self.kmer_map[km] = len(self.seed_map)
+                self.seed_map.append(km)
+        else:
+            for i in range(0, n - seed_rate, seed_rate):
+                # kmers fully inside [i, i+seed_rate):
+                # starts i .. i+seed_rate-k
+                lo, hi = i, i + seed_rate - k + 1
+                # live lookup so seeds added by earlier windows are seen
+                if self.kmer_table[kmers[lo:hi]].any():
+                    continue
+                j = lo + int(np.argmax(vals[lo:hi]))
+                self._add_seed_kmer(int(kmers[j]))
         self._membership = None
         self._seed_counts = None
 

@@ -328,3 +328,37 @@ extern "C" int64_t add_seeds_walk(const int32_t* kmers, const double* values,
     for (size_t i = 0; i < top_n.size(); i++) out_kmers[i] = top_n[i];
     return (int64_t)top_n.size();
 }
+
+// One best-ranked seed per seed_rate-base window with no existing seed
+// (AddSingleSeeds, ref: seeds/seeds.go:160-200; twin of the Python loop in
+// seeds.seed_index.add_single_seeds).  The table lookup is LIVE: seeds
+// added by earlier windows suppress later windows.  `table` (bool/uint8,
+// 4^k entries) is updated in place; selected k-mers are written to
+// out_kmers in selection order.  Returns the selection count.
+extern "C" int64_t add_single_seeds_walk(const int32_t* kmers,
+                                         const double* vals, int64_t nk,
+                                         int64_t n, int32_t k,
+                                         int64_t seed_rate, uint8_t* table,
+                                         int32_t* out_kmers) {
+    int64_t count = 0;
+    for (int64_t i = 0; i + seed_rate < n; i += seed_rate) {
+        const int64_t lo = i;
+        int64_t hi = i + seed_rate - k + 1;
+        if (hi > nk) hi = nk;
+        if (hi <= lo) continue;
+        bool has = false;
+        for (int64_t j = lo; j < hi; j++) {
+            if (table[kmers[j]]) { has = true; break; }
+        }
+        if (has) continue;
+        int64_t best = lo;
+        double bv = vals[lo];
+        for (int64_t j = lo + 1; j < hi; j++) {
+            if (vals[j] > bv) { bv = vals[j]; best = j; }
+        }
+        const int32_t km = kmers[best];
+        table[km] = 1;
+        out_kmers[count++] = km;
+    }
+    return count;
+}

@@ -309,3 +309,37 @@ def test_native_add_seeds_walk_parity():
         finally:
             native.add_seeds_walk = orig
         assert i1.seed_map == i2.seed_map
+
+
+def test_native_add_single_seeds_parity():
+    """Native add_single_seeds_walk must reproduce the Python loop's
+    live-table window semantics exactly (seed ids, table, map)."""
+    import numpy as np
+    from downpore_tpu import native
+    from downpore_tpu.seeds import SeedIndex
+    from downpore_tpu.core import Sequence
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(9)
+    k = 11
+    vals = rng.random(4 ** k)
+    for trial in range(3):
+        n = int(rng.integers(5000, 40000))
+        seq = Sequence.from_string(
+            "".join("ACGT"[i] for i in rng.integers(0, 4, n)), id=trial)
+        i1, i2 = SeedIndex(k), SeedIndex(k)
+        for km in rng.integers(0, 4 ** k, 20):
+            i1._add_seed_kmer(int(km))
+            i2._add_seed_kmer(int(km))
+        i1.add_single_seeds(seq, 40, vals)
+        orig = native.add_single_seeds_walk
+        native.add_single_seeds_walk = lambda *a, **kw: None
+        try:
+            i2.add_single_seeds(seq, 40, vals)
+        finally:
+            native.add_single_seeds_walk = orig
+        assert i1.seed_map == i2.seed_map
+        assert (i1.kmer_table == i2.kmer_table).all()
+        assert (i1.kmer_map == i2.kmer_map).all()
