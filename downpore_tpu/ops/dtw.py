@@ -375,6 +375,9 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
         L = ((L + 127) // 128) * 128
         buckets.setdefault((N, L), []).append((ji, job))
     results = [np.zeros(0, np.int32)] * len(jobs)
+    # dispatch every bucket async first, then fetch: sequential per-bucket
+    # device_gets each pay a full link round trip on a tunnelled TPU
+    inflight = []
     for (N, L), entries in sorted(buckets.items()):
         seqs = np.empty((len(entries), N, L), np.int32)
         lens = np.empty((len(entries), N), np.int32)
@@ -383,9 +386,12 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
             seqs[i], lens[i], firsts[i] = _pad_job(job, N, L)
         t_max = int(L * 1.3) + 32
         t_max = ((t_max + 31) // 32) * 32
-        chains, ns = jax.device_get(_device_consensus_vmapped(
-            seqs, lens, table, firsts, k, beam, t_max, threshold, gap_cost,
-            simple_k))
+        fut = _device_consensus_vmapped(seqs, lens, table, firsts, k,
+                                        beam, t_max, threshold, gap_cost,
+                                        simple_k)
+        inflight.append((entries, firsts, fut))
+    fetched = jax.device_get([f for *_, f in inflight])
+    for (entries, firsts, _), (chains, ns) in zip(inflight, fetched):
         for i, (ji, _) in enumerate(entries):
             results[ji] = _assemble(chains[i], int(ns[i]), int(firsts[i]))
     return results
