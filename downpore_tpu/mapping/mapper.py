@@ -82,8 +82,15 @@ class Mapper:
         from ..ops.map_engine import MapEngine
         # nt=320: 10 kb chunks at the default seed rate carry ~290-315
         # seeds (the old 256 truncated every chunk's tail ~1.5 kb out of
-        # the anchor tables)
-        self.engine = MapEngine(self.index, self.k, nq=64, nt=320,
+        # the anchor tables).
+        # nq scales with seed-table density: a 1 kb window's expected
+        # table hits = window_kmers * distinct_seeds / 4^k (~11 for
+        # E. coli at k=11, ~100+ for genome-scale references), and a
+        # fixed width would truncate the window's tail seeds
+        exp_hits = (self.edge_size - self.k + 1) \
+            * self.index.num_seeds / (4 ** self.k)
+        nq = int(min(192, max(64, -(-2 * exp_hits // 32) * 32)))
+        self.engine = MapEngine(self.index, self.k, nq=nq, nt=320,
                                 mesh=self.mesh, hit_fraction=0.25)
 
     # ------------------------------------------------------------------
