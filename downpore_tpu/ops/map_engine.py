@@ -40,11 +40,30 @@ from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
 
 def _count_rows(membership, buckets):
     """Retrieval: hit counts as a gather+sum over the membership matrix.
-    ``buckets [M, R]`` (pad -1) -> ``[M, C]`` int32."""
-    live = buckets >= 0
-    rows = jnp.take(membership, jnp.clip(buckets, 0), axis=0)  # [M,R,C]
-    rows = jnp.where(live[:, :, None], rows, 0)
-    return jnp.sum(rows.astype(jnp.int32), axis=1)
+    ``buckets [M, R]`` (pad -1) -> ``[M, C]`` int32.
+
+    The gathered ``[M, R, C]`` intermediate is bounded to ~256 MB by
+    chunking the batch axis through ``lax.map`` — at genome scale
+    (chr20: C ~6.5k chunks) the unchunked form would materialize
+    multi-GB of HBM per dispatch."""
+    C = membership.shape[1]
+    M, R = buckets.shape
+
+    def counts(b):
+        live = b >= 0
+        rows = jnp.take(membership, jnp.clip(b, 0), axis=0)  # [m,R,C]
+        rows = jnp.where(live[:, :, None], rows, 0)
+        return jnp.sum(rows.astype(jnp.int32), axis=1)
+
+    if M * R * C <= (1 << 28):
+        return counts(buckets)
+    mc = max(1, (1 << 28) // max(1, R * C))
+    mc = max(128, (mc // 128) * 128)
+    MP = ((M + mc - 1) // mc) * mc
+    b = buckets if MP == M else jnp.concatenate(
+        [buckets, jnp.full((MP - M, R), -1, buckets.dtype)])
+    out = jax.lax.map(counts, b.reshape(MP // mc, mc, R))
+    return out.reshape(MP, C)[:M]
 
 
 def _derive_buckets(q_seeds, usable, H: int, hashed: bool):
