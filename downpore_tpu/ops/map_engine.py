@@ -58,7 +58,9 @@ def _count_rows(membership, buckets):
     if M * R * C <= (1 << 28):
         return counts(buckets)
     mc = max(1, (1 << 28) // max(1, R * C))
-    mc = max(128, (mc // 128) * 128)
+    # floor of 8 keeps the scan length sane without re-inflating the
+    # per-step gather beyond ~2x the target at extreme C
+    mc = max(8, (mc // 8) * 8)
     MP = ((M + mc - 1) // mc) * mc
     b = buckets if MP == M else jnp.concatenate(
         [buckets, jnp.full((MP - M, R), -1, buckets.dtype)])
@@ -582,13 +584,16 @@ class MapEngine:
         return q_seeds, q_pos, q_rb, q_db, num_sets, q_len, num_seeds
 
     # -- host-side query packing ---------------------------------------
-    def pack_queries(self, seed_queries: List) -> tuple:
+    def pack_queries(self, seed_queries: List,
+                     need_buckets: bool = True) -> tuple:
         """Seed sequences -> fixed-shape device inputs.
 
         Run-collapse and the usable mask follow ``SeedIndex.matches``
         (ref: seeds/seeds.go:335-353): unusable seeds are dropped, then
         consecutive duplicates collapse; ``num_sets`` is the exact run
-        count even when hash buckets collide."""
+        count even when hash buckets collide.  With ``need_buckets``
+        False (callers on the on-device derivation path) the hash/unique
+        bucket arrays stay -1 — only num_sets is computed."""
         M = len(seed_queries)
         nq = self.nq
         q_seeds = np.full((M, nq), -1, np.int32)
@@ -607,6 +612,8 @@ class MapEngine:
             if f.size:
                 runs = f[np.concatenate([[True], f[1:] != f[:-1]])]
                 num_sets[i] = runs.shape[0]
+                if not need_buckets:
+                    continue
                 rb = match_ops.hash_ids(runs, self.num_seeds, self.H)
                 r = min(rb.shape[0], nq)
                 q_rb[i, :r] = rb[:r]
@@ -778,13 +785,17 @@ class MapEngine:
         M = len(seed_queries)
         if M == 0 or self.C == 0:
             return []
-        q_seeds, q_pos, q_rb, q_db, num_sets, _ = \
-            self.pack_queries(seed_queries)
         # the chain DP's sequential scan runs 2 * nq steps and the walk
         # chain_len steps — size both to the batch's real max seed count
         # (bucketed to limit compile variants) instead of the engine cap
-        nq_eff = int((q_seeds >= 0).sum(1).max(initial=1))
-        nq_eff = min(self.nq, max(32, ((nq_eff + 31) // 32) * 32))
+        max_ns = max((len(q.seeds) for q in seed_queries), default=1)
+        nq_eff = min(self.nq,
+                     max(32, ((min(max_ns, self.nq) + 31) // 32) * 32))
+        # when every query's seeds fit the width, buckets are derived on
+        # device — skip building them on host entirely
+        derive = not self.seed_sharded and max_ns <= nq_eff
+        q_seeds, q_pos, q_rb, q_db, num_sets, _ = \
+            self.pack_queries(seed_queries, need_buckets=not derive)
         q_seeds = q_seeds[:, :nq_eff]
         q_pos = q_pos[:, :nq_eff]
         chain_len = min(chain_len, nq_eff)
@@ -814,8 +825,7 @@ class MapEngine:
         # on-device bucket derivation when every query's full seed list
         # fits the shipped width (same guard as dispatch_packed): drops
         # q_rb/q_db from the upload and folds the rest into ONE transfer
-        max_ns = max((len(q.seeds) for q in seed_queries), default=0)
-        if not self.seed_sharded and max_ns <= nq_eff:
+        if derive:
             qmax = int(q_pos.max(initial=0))
             dt = np.int16 if qmax < (1 << 15) else np.int32
             Mq = q_pos.shape[0]

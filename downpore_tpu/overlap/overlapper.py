@@ -224,9 +224,17 @@ class Overlapper:
         # size the target-seed axis to the round's real chunks: reads
         # shorter than chunk_size index as ONE chunk carrying all their
         # seeds (ref chunkWorker, overlap/overlap.go:255-259), so a fixed
-        # cap would silently drop tail anchors of mid-length reads
-        nt = max((s.num_seeds for s in self.index.sequences), default=1)
-        nt = min(1024, ((nt + 63) // 64) * 64)
+        # cap would silently drop tail anchors of mid-length reads.
+        # Bucketed to a 128 grid so round-to-round drift in the max seed
+        # count doesn't force a fresh XLA compile each round.
+        max_ts = max((s.num_seeds for s in self.index.sequences),
+                     default=1)
+        nt = min(2048, ((max_ts + 127) // 128) * 128)
+        if max_ts > nt:
+            import sys
+            print(f"overlap: {max_ts}-seed chunks truncated to {nt} "
+                  f"target seeds (chunk anchors past that are dropped; "
+                  f"lower -chunk_size to avoid)", file=sys.stderr)
         eng = MapEngine(self.index, self.index.k, nq=128, nt=nt,
                         mesh=self.mesh, hit_fraction=self.hit_fraction)
         base_min = np.array(
