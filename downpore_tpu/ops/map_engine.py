@@ -68,6 +68,20 @@ def _count_rows(membership, buckets):
     return out.reshape(MP, C)[:M]
 
 
+@functools.partial(jax.jit, static_argnames=("C",))
+def _unpack_membership(packed, C: int):
+    """[H, ceil(C/8)] uint8 bit-rows -> resident [H, C] int8 0/1."""
+    H, CB = packed.shape
+    bits = jnp.right_shift(packed[:, :, None],
+                           jnp.arange(7, -1, -1, dtype=jnp.uint8)) & 1
+    return bits.reshape(H, CB * 8)[:, :C].astype(jnp.int8)
+
+
+@jax.jit
+def _to_i32(a):
+    return a.astype(jnp.int32)
+
+
 def _derive_buckets(q_seeds, usable, H: int, hashed: bool):
     """On-device twin of the host run/distinct bucket derivation
     (``pack_query_windows``): run-collapse over usable seeds
@@ -438,14 +452,27 @@ class MapEngine:
                 mem, NamedSharding(mesh, P("seed", None)))
             self._sharded_counts = make_sharded_counts(mesh)
         else:
-            self.membership = self._put(mem)
+            # ship the 0/1 matrix BIT-PACKED (8x less link traffic — the
+            # overlap driver rebuilds and re-uploads the index every
+            # round) and unpack once on device into the resident int8
+            packed = np.packbits(mem, axis=1)
+            self.membership = _unpack_membership(
+                self._put(packed), mem.shape[1])
             self._sharded_counts = None
         # int16 chain-DP carries are safe when every target position fits
         # under 2^14 (default 10 kb chunks do); the query side is checked
         # per dispatch
         self._t_small = int(t_pos.max(initial=0)) < 16000
-        self.t_seeds = self._put(t_seeds)
-        self.t_pos = self._put(t_pos)
+        # halve the chunk-table transfers when values fit int16 (cast
+        # back on device)
+        if S < (1 << 15):
+            self.t_seeds = _to_i32(self._put(t_seeds.astype(np.int16)))
+        else:
+            self.t_seeds = self._put(t_seeds)
+        if int(t_pos.max(initial=0)) < (1 << 15):
+            self.t_pos = _to_i32(self._put(t_pos.astype(np.int16)))
+        else:
+            self.t_pos = self._put(t_pos)
         # "usable" per Matches: seeds present in every chunk carry no info
         if index._seed_counts is None:
             index.index_sequences()
