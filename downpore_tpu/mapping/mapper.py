@@ -131,6 +131,10 @@ class Mapper:
             num_seeds = packed[6]
             base_min = np.maximum(5, num_seeds // 5).astype(np.int32)
             futs = self.engine.dispatch_packed(packed, base_min)
+            # NOTE: per-leaf copy_to_host_async here measured SLOWER than
+            # the one batched device_get in collect_arrays_many on the
+            # tunnelled TPU (each async copy pays its own link round
+            # trip), so fetches stay batched at collect time
             inflight.append((lo, sub, num_seeds, futs))
         colls = self.engine.collect_arrays_many([f for *_, f in inflight])
         for (lo, sub, num_seeds, _), coll in zip(inflight, colls):
@@ -190,6 +194,55 @@ class Mapper:
                            qil + mins_[:, None])
         # rows are sorted by mi (query-major compaction order)
         bounds = np.searchsorted(mi, np.arange(2 * nq + 1))
+
+        from .. import native
+        acc = native.walk_candidates(
+            bounds, num_seeds, nq, np.ascontiguousarray(head[:, 2]),
+            s["best"], s["top_valid"], s["top_len"], s["top_cov_t"],
+            eqp, etp, sqp, stp, ok23, K)
+        if acc is not None:
+            self._emit_accepted(queries, acc, start, end, q_offset,
+                                q_inset, s["top_cov_t"], results, base)
+            return
+        self._walk_candidates_py(queries, num_seeds, s, head, bounds,
+                                 start, end, q_offset, q_inset, ok23,
+                                 eqp, etp, sqp, stp, results, base, K)
+
+    def _emit_accepted(self, queries, acc, start, end, q_offset, q_inset,
+                       cov_t, results, base: int):
+        """Build Mapping objects from the native walk's accepted
+        ``(qi, b, j, rc)`` tuples (emitted in the reference walk order,
+        query-major)."""
+        acc_qi, acc_b, acc_j, acc_rc = acc
+        n = acc_qi.shape[0]
+        if n == 0:
+            return
+        starts = start[acc_b, acc_j].tolist()
+        ends = end[acc_b, acc_j].tolist()
+        qos = q_offset[acc_b, acc_j].tolist()
+        qns = q_inset[acc_b, acc_j].tolist()
+        ids = cov_t[acc_b, acc_j].tolist()
+        rcs = acc_rc.tolist()
+        qis = acc_qi.tolist()
+        lo = 0
+        while lo < n:
+            hi = lo
+            qi = qis[lo]
+            while hi < n and qis[hi] == qi:
+                hi += 1
+            query = queries[qi]
+            res = [Mapping(query, starts[i], ends[i], qos[i], qns[i],
+                           rcs[i], ids[i]) for i in range(lo, hi)]
+            results[base + qi] = _dedup_by_position(res)
+            lo = hi
+
+    def _walk_candidates_py(self, queries, num_seeds, s, head, bounds,
+                            start, end, q_offset, q_inset, ok23,
+                            eqp, etp, sqp, stp, results, base: int,
+                            K: int):
+        """Pure-Python twin of the native walk (fallback + parity
+        oracle)."""
+        nq = len(queries)
         dc_l = head[:, 2].tolist()
         best_l = s["best"].tolist()
         tv_l = s["top_valid"].tolist()

@@ -74,6 +74,12 @@ def load() -> Optional[ctypes.CDLL]:
                                             ctypes.c_int64, ctypes.c_int32,
                                             ctypes.c_int64, u8p, i32p]
         L.add_single_seeds_walk.restype = ctypes.c_int64
+        L.walk_candidates.argtypes = [i64p, i64p, ctypes.c_int64,
+                                      i32p, i32p, u8p, i32p, i32p, i32p,
+                                      i32p, i32p, i32p, u8p,
+                                      ctypes.c_int32, i32p, i32p, i32p,
+                                      u8p, ctypes.c_int64]
+        L.walk_candidates.restype = ctypes.c_int64
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -212,6 +218,52 @@ def add_single_seeds_walk(kmers: np.ndarray, vals: np.ndarray, n: int,
         table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         _ptr(out, ctypes.c_int32))
     return out[:cnt]
+
+
+def walk_candidates(bounds: np.ndarray, num_seeds: np.ndarray, nq: int,
+                    dc: np.ndarray, best: np.ndarray, tv: np.ndarray,
+                    tl: np.ndarray, ct: np.ndarray, eq: np.ndarray,
+                    et: np.ndarray, sq: np.ndarray, st: np.ndarray,
+                    ok23: np.ndarray, K: int):
+    """Sequential adaptive-threshold mapper candidate walk (exact twin of
+    the Python loop in ``mapping.mapper._walk_candidates_py``; ref
+    mapping/mapping.go:494-589).  Returns accepted ``(qi, b, j, rc)``
+    arrays in walk order, or None without the toolchain."""
+    L = load()
+    if L is None or not hasattr(L, "walk_candidates"):
+        return None
+    N = dc.shape[0]
+    bounds = np.ascontiguousarray(bounds, np.int64)
+    num_seeds = np.ascontiguousarray(num_seeds, np.int64)
+    dc = np.ascontiguousarray(dc, np.int32)
+    best = np.ascontiguousarray(best, np.int32)
+    tv = np.ascontiguousarray(tv, np.uint8)
+    tl = np.ascontiguousarray(tl, np.int32)
+    ct = np.ascontiguousarray(ct, np.int32)
+    eq = np.ascontiguousarray(eq, np.int32)
+    et = np.ascontiguousarray(et, np.int32)
+    sq = np.ascontiguousarray(sq, np.int32)
+    st = np.ascontiguousarray(st, np.int32)
+    ok23 = np.ascontiguousarray(ok23, np.uint8)
+    cap = max(1, N * K)
+    out_qi = np.empty(cap, np.int32)
+    out_b = np.empty(cap, np.int32)
+    out_j = np.empty(cap, np.int32)
+    out_rc = np.empty(cap, np.uint8)
+    cnt = L.walk_candidates(
+        _ptr(bounds, ctypes.c_int64), _ptr(num_seeds, ctypes.c_int64), nq,
+        _ptr(dc, ctypes.c_int32), _ptr(best, ctypes.c_int32),
+        _ptr(tv, ctypes.c_uint8), _ptr(tl, ctypes.c_int32),
+        _ptr(ct, ctypes.c_int32), _ptr(eq, ctypes.c_int32),
+        _ptr(et, ctypes.c_int32), _ptr(sq, ctypes.c_int32),
+        _ptr(st, ctypes.c_int32), _ptr(ok23, ctypes.c_uint8), K,
+        _ptr(out_qi, ctypes.c_int32), _ptr(out_b, ctypes.c_int32),
+        _ptr(out_j, ctypes.c_int32), _ptr(out_rc, ctypes.c_uint8), cap)
+    if cnt < 0:
+        return None
+    cnt = min(int(cnt), cap)  # cap = N*K is the true worst case
+    return (out_qi[:cnt], out_b[:cnt], out_j[:cnt],
+            out_rc[:cnt].astype(bool))
 
 
 def index_fastq(buf: bytes):

@@ -362,3 +362,94 @@ extern "C" int64_t add_single_seeds_walk(const int32_t* kmers,
     }
     return count;
 }
+
+// Sequential adaptive-threshold candidate walk for the mapper
+// (performMapping's accept loop, ref: mapping/mapping.go:494-589; exact
+// twin of the Python loop in mapping.mapper._walk_candidates_py).  Row
+// ranges per query come from `bounds` ([2*nq+1], rows sorted query-major
+// with the forward row first); per-row chain stats are the K top chains
+// of the fused-map summary.  Thresholds ratchet up as chains are
+// accepted, affecting LATER candidates of the same query — hence a walk,
+// not a filter.  Emits accepted (query, row, chain, rc) tuples in the
+// reference's walk order; returns the count (caller truncates at cap).
+extern "C" int64_t walk_candidates(
+    const int64_t* bounds, const int64_t* num_seeds, int64_t nq,
+    const int32_t* dc, const int32_t* best,
+    const uint8_t* tv, const int32_t* tl, const int32_t* ct,
+    const int32_t* eq, const int32_t* et,
+    const int32_t* sq, const int32_t* st,
+    const uint8_t* ok23, int32_t K,
+    int32_t* out_qi, int32_t* out_b, int32_t* out_j, uint8_t* out_rc,
+    int64_t cap) {
+    int64_t cnt = 0;
+    // starts "dict": insertion-ordered, <= K entries (K is small)
+    int32_t key_sq[16], key_st[16], val_j[16];
+    int32_t s0[16], s1[16], s2[16], s3[16];
+    if (K > 16) return -1;
+    for (int64_t qi = 0; qi < nq; qi++) {
+        const int64_t lo_f = bounds[2 * qi], hi_f = bounds[2 * qi + 1];
+        const int64_t hi_r = bounds[2 * qi + 2];
+        if (lo_f == hi_f && hi_f == hi_r) continue;
+        int64_t min_matches = num_seeds[2 * qi] / 5;
+        if (min_matches < 5) min_matches = 5;
+        int64_t min_rc = num_seeds[2 * qi + 1] / 5;
+        if (min_rc < 5) min_rc = 5;
+        for (int pass = 0; pass < 2; pass++) {
+            const int64_t lo = pass ? hi_f : lo_f;
+            const int64_t hi = pass ? hi_r : hi_f;
+            const bool rc = pass != 0;
+            for (int64_t b = lo; b < hi; b++) {
+                const int64_t cur_min = rc ? min_rc : min_matches;
+                if (dc[b] < cur_min || best[b] < cur_min) continue;
+                const int64_t off = b * K;
+                int n_keys = 0;
+                for (int j = 0; j < K; j++) {
+                    if (!tv[off + j] || tl[off + j] < cur_min) continue;
+                    const int32_t ksq = sq[off + j], kst = st[off + j];
+                    const int32_t a0 = tl[off + j], a1 = ct[off + j];
+                    const int32_t a2 = eq[off + j], a3 = et[off + j];
+                    int found = -1;
+                    for (int m = 0; m < n_keys; m++) {
+                        if (key_sq[m] == ksq && key_st[m] == kst) {
+                            found = m;
+                            break;
+                        }
+                    }
+                    if (found < 0) {
+                        key_sq[n_keys] = ksq; key_st[n_keys] = kst;
+                        s0[n_keys] = a0; s1[n_keys] = a1;
+                        s2[n_keys] = a2; s3[n_keys] = a3;
+                        val_j[n_keys] = j;
+                        n_keys++;
+                    } else {
+                        const bool gt =
+                            (a0 != s0[found]) ? (a0 > s0[found])
+                            : (a1 != s1[found]) ? (a1 > s1[found])
+                            : (a2 != s2[found]) ? (a2 > s2[found])
+                            : (a3 > s3[found]);
+                        if (gt) {
+                            s0[found] = a0; s1[found] = a1;
+                            s2[found] = a2; s3[found] = a3;
+                            val_j[found] = j;
+                        }
+                    }
+                }
+                for (int m = 0; m < n_keys; m++) {
+                    const int j = val_j[m];
+                    if (!ok23[off + j]) continue;
+                    if (cnt < cap) {
+                        out_qi[cnt] = (int32_t)qi;
+                        out_b[cnt] = (int32_t)b;
+                        out_j[cnt] = j;
+                        out_rc[cnt] = rc ? 1 : 0;
+                    }
+                    cnt++;
+                    const int64_t limit = ((int64_t)s0[m] * 4) / 5;
+                    if (!rc && limit > min_matches) min_matches = limit;
+                    if (limit > min_rc) min_rc = limit;
+                }
+            }
+        }
+    }
+    return cnt;
+}

@@ -97,3 +97,60 @@ def test_native_pack_windows_matches_numpy():
                 ref_out[4], ref_out[6])
     for name, a, b in zip(names, nat_full, ref_full):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_native_walk_candidates_matches_python():
+    """The native mapper candidate walk must reproduce the Python
+    sequential adaptive-threshold walk exactly (same mappings, same
+    order) on a real end-to-end mapping load including RC reads,
+    chimeras and repeat-crossing windows."""
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    if native.load() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(1777)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    core = bases[rng.integers(0, 4, 80_000)]
+    # plant a tandem repeat so some windows hit multiple chunks
+    genome = (core.tobytes() + core[:6000].tobytes()
+              + core[40_000:52_000].tobytes()).decode()
+    ref = Sequence.from_string(genome, id=0, name="g")
+    k = 10
+    values = score_seed_values(kmer_occurrences([ref], k), k)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    reads = []
+    for i in range(96):
+        p = int(rng.integers(0, len(genome) - 7000))
+        L = int(rng.integers(2500, 7000))
+        arr = np.frombuffer(genome[p : p + L].encode(), np.uint8).copy()
+        m = rng.random(len(arr)) < 0.06
+        arr[m] = bases[rng.integers(0, 4, int(m.sum()))]
+        s = arr.tobytes()
+        if i % 2:
+            s = s.translate(comp)[::-1]
+        reads.append(Sequence.from_string(s.decode(), id=i, name=f"r{i}"))
+    # a chimera: two distant segments joined
+    chi = genome[1000:4000] + genome[60_000:64_000]
+    reads.append(Sequence.from_string(chi, id=96, name="chimera"))
+
+    def run(force_python: bool):
+        mapper = Mapper(ref, False, k, values, seed_rate=40,
+                        edge_size=1000, chunk_size=10_000)
+        if force_python:
+            orig = native.walk_candidates
+            native.walk_candidates = lambda *a, **kw: None
+            try:
+                res = mapper.map_batch(reads)
+            finally:
+                native.walk_candidates = orig
+        else:
+            res = mapper.map_batch(reads)
+        return [[(m.start, m.end, m.query_offset, m.query_inset, m.rc,
+                  m.ids) for m in ms] for ms in res]
+
+    nat = run(False)
+    py = run(True)
+    assert nat == py
