@@ -91,7 +91,8 @@ class Mapper:
             * self.index.num_seeds / (4 ** self.k)
         nq = int(min(192, max(64, -(-2 * exp_hits // 32) * 32)))
         self.engine = MapEngine(self.index, self.k, nq=nq, nt=320,
-                                mesh=self.mesh, hit_fraction=0.25)
+                                mesh=self.mesh, hit_fraction=0.25,
+                                lean=True)
 
     # ------------------------------------------------------------------
     def as_string(self, m: Mapping) -> str:
@@ -163,7 +164,7 @@ class Mapper:
         k = self.k
         K = 4
         from ..ops.chain import unpack_summary
-        s = unpack_summary(packed, K)
+        s = unpack_summary(packed, K, lean=self.engine.lean)
         mi = head[:, 0]
         ci = head[:, 1]
         eng = self.engine

@@ -290,12 +290,19 @@ def summarize_scalars(out, min_match, alen, k: int):
             "is_start": is_start}
 
 
-def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
+def summarize_dp(out, min_match, alen, k: int, top_k: int = 4,
+                 lean: bool = False):
     """On-device aggregation of a DP output dict into the packed summary
-    array (see chain_batch_summary)."""
+    array (see chain_batch_summary).
+
+    ``lean`` packs only the columns the mapper's candidate walk consumes
+    (best + top-K valid/sqp/stp/eqp/etp/cov_t/len — 1 + 7K instead of
+    5 + 8K): the device->host fetch of these rows dominates map
+    wall-clock on a bandwidth-bound link, and the dropped aggregates
+    (ident_cov_q, earliest, latest, n_chains, top_cov_q) also skip their
+    one-hot reductions on device."""
     s = summarize_scalars(out, min_match, alen, k)
-    best, ident_cov_q = s["best"], s["ident_cov_q"]
-    earliest, latest, n_chains = s["earliest"], s["latest"], s["n_chains"]
+    best = s["best"]
     is_start = s["is_start"]
     key = jnp.where(is_start, out["cov_q"], -1)
     _, idx = jax.lax.top_k(key, top_k)
@@ -305,9 +312,17 @@ def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
           == idx[:, :, None])                            # [P, top_k, A]
     take = lambda arr: jnp.sum(jnp.where(oh, arr[:, None, :], 0), axis=2)
     # one packed int32 array -> a single device->host fetch per slice
+    if lean:
+        return jnp.concatenate([
+            best[:, None],
+            (take(key) >= 0).astype(jnp.int32),
+            take(out["start_qp"]), take(out["start_tp"]),
+            take(out["end_qp"]), take(out["end_tp"]),
+            take(out["cov_t"]), take(out["through"]),
+        ], axis=1)
     packed = jnp.concatenate([
-        best[:, None], ident_cov_q[:, None], earliest[:, None],
-        latest[:, None], n_chains[:, None],
+        best[:, None], s["ident_cov_q"][:, None], s["earliest"][:, None],
+        s["latest"][:, None], s["n_chains"][:, None],
         (take(key) >= 0).astype(jnp.int32),
         take(out["start_qp"]), take(out["start_tp"]),
         take(out["end_qp"]), take(out["end_tp"]),
@@ -319,16 +334,22 @@ def summarize_dp(out, min_match, alen, k: int, top_k: int = 4):
 SUMMARY_SCALARS = ["best", "ident_cov_q", "earliest", "latest", "n_chains"]
 SUMMARY_TOPS = ["top_valid", "top_sqp", "top_stp", "top_eqp", "top_etp",
                 "top_cov_q", "top_cov_t", "top_len"]
+LEAN_SCALARS = ["best"]
+LEAN_TOPS = ["top_valid", "top_sqp", "top_stp", "top_eqp", "top_etp",
+             "top_cov_t", "top_len"]
 
 
-def unpack_summary(packed: np.ndarray, top_k: int = 4) -> dict:
+def unpack_summary(packed: np.ndarray, top_k: int = 4,
+                   lean: bool = False) -> dict:
     """Split the packed summary array back into the named dict."""
+    scalars = LEAN_SCALARS if lean else SUMMARY_SCALARS
+    tops = LEAN_TOPS if lean else SUMMARY_TOPS
     out = {}
     c = 0
-    for name in SUMMARY_SCALARS:
+    for name in scalars:
         out[name] = packed[:, c]
         c += 1
-    for name in SUMMARY_TOPS:
+    for name in tops:
         out[name] = packed[:, c : c + top_k]
         c += top_k
     out["top_valid"] = out["top_valid"].astype(bool)

@@ -146,11 +146,12 @@ def make_sharded_counts(mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
-                                              "chunk", "small"))
+                                              "chunk", "small", "lean"))
 def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
                membership, t_seeds, t_pos,
                k: int, pair_budget: int, top_k: int = 4,
-               chunk: int = 1024, small: bool = False):
+               chunk: int = 1024, small: bool = False,
+               lean: bool = False):
     """Retrieval + gate + chain + summary in one dispatch.
 
     Returns ``(head [budget, 3] int32, summary [budget, W] int16,
@@ -163,15 +164,16 @@ def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
     return _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
                             base_min, q_len, t_seeds, t_pos, k=k,
                             pair_budget=pair_budget, top_k=top_k,
-                            chunk=chunk, small=small)
+                            chunk=chunk, small=small, lean=lean)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
-                                              "chunk", "small"))
+                                              "chunk", "small", "lean"))
 def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
                      q_len, t_seeds, t_pos,
                      k: int, pair_budget: int, top_k: int = 4,
-                     chunk: int = 1024, small: bool = False):
+                     chunk: int = 1024, small: bool = False,
+                     lean: bool = False):
     """Gate + chain + summary from precomputed retrieval counts (the
     entry point for the seed-sharded retrieval path)."""
     M = q_seeds.shape[0]
@@ -209,7 +211,7 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
     out = dp_from_anchors(anchors, k, small=small)
-    packed = summarize_dp(out, mm, q_len[mi], k, top_k)
+    packed = summarize_dp(out, mm, q_len[mi], k, top_k, lean=lean)
     dc = dcounts[mi, ci]
     head = jnp.concatenate([
         jnp.where(live, mi, -1)[:, None], ci[:, None], dc[:, None]], axis=1)
@@ -220,10 +222,12 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
-                                              "chunk", "small", "nq"))
+                                              "chunk", "small", "nq",
+                                              "lean"))
 def _fused_map_c(a_c, q_seeds, membership, t_seeds, t_pos,
                  k: int, pair_budget: int, top_k: int = 4,
-                 chunk: int = 1024, small: bool = False, nq: int = 64):
+                 chunk: int = 1024, small: bool = False, nq: int = 64,
+                 lean: bool = False):
     """``_fused_map`` with the per-query feature arrays concatenated into
     ONE host->device transfer: ``a_c [M, 3*nq + 3]`` carries q_pos | q_rb
     | q_db | (min_count, base_min, q_len), int16 when every field fits
@@ -242,16 +246,17 @@ def _fused_map_c(a_c, q_seeds, membership, t_seeds, t_pos,
     return _map_from_counts(counts, dcounts, q_seeds.astype(jnp.int32),
                             q_pos, min_count, base_min, q_len,
                             t_seeds, t_pos, k=k, pair_budget=pair_budget,
-                            top_k=top_k, chunk=chunk, small=small)
+                            top_k=top_k, chunk=chunk, small=small,
+                            lean=lean)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
                                               "chunk", "small", "nq",
-                                              "hashed"))
+                                              "hashed", "lean"))
 def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
                  k: int, pair_budget: int, top_k: int = 4,
                  chunk: int = 1024, small: bool = False, nq: int = 64,
-                 hashed: bool = False):
+                 hashed: bool = False, lean: bool = False):
     """``_fused_map_c`` with the run/distinct bucket arrays DERIVED on
     device from the seed ids (``_derive_buckets``) instead of shipped:
     ``a_c [M, nq + 3]`` carries only q_pos | (min_count, base_min,
@@ -268,7 +273,7 @@ def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
     return _map_from_counts(counts, dcounts, qs, q_pos, min_count,
                             base_min, q_len, t_seeds, t_pos, k=k,
                             pair_budget=pair_budget, top_k=top_k,
-                            chunk=chunk, small=small)
+                            chunk=chunk, small=small, lean=lean)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
@@ -395,9 +400,13 @@ class MapEngine:
     chunk-index consumer)."""
 
     def __init__(self, index, k: int, nq: int = 64, nt: int = 320,
-                 mesh=None, hit_fraction: float = 0.25):
+                 mesh=None, hit_fraction: float = 0.25,
+                 lean: bool = False):
         self.index = index
         self.k = k
+        # lean: pack only the mapper-walk summary columns (1 + 7K instead
+        # of 5 + 8K) — the fetch of these rows dominates map wall-clock
+        self.lean = lean
         self.nq = nq
         self.nt = nt
         self.mesh = mesh
@@ -734,7 +743,8 @@ class MapEngine:
                 return _map_from_counts(
                     counts, dcounts, args[0], args[1], args[4], args[5],
                     args[6], self.t_seeds, self.t_pos, k=self.k,
-                    pair_budget=budget, top_k=top_k, small=small)
+                    pair_budget=budget, top_k=top_k, small=small,
+                    lean=self.lean)
 
             return (M, call(pair_budget), pair_budget, call)
 
@@ -770,7 +780,7 @@ class MapEngine:
                                     self.t_pos, k=self.k,
                                     pair_budget=budget, top_k=top_k,
                                     small=small, nq=nq,
-                                    hashed=self._hashed)
+                                    hashed=self._hashed, lean=self.lean)
 
             return (M, call(pair_budget), pair_budget, call)
 
@@ -794,7 +804,7 @@ class MapEngine:
             return _fused_map_c(a_dev, s_dev, self.membership,
                                 self.t_seeds, self.t_pos, k=self.k,
                                 pair_budget=budget, top_k=top_k,
-                                small=small, nq=nq)
+                                small=small, nq=nq, lean=self.lean)
 
         return (M, call(pair_budget), pair_budget, call)
 
@@ -949,7 +959,10 @@ class MapEngine:
     def collect_arrays_many(self, futs_list):
         """``collect_arrays`` over several in-flight dispatches with ONE
         ``jax.device_get`` for all of them — sequential fetches each pay
-        a full link round trip on a tunnelled TPU."""
+        a full link round trip on a tunnelled TPU.  (A two-phase variant
+        that fetched the ``n_ok`` scalars first and sliced the results to
+        live rows on device measured SLOWER here: the extra round trip +
+        slice dispatches cost more than the padding bytes saved.)"""
         fetch = jax.device_get([f[1] for f in futs_list if f[1] is not None])
         out = []
         fi = 0
@@ -984,7 +997,8 @@ class MapEngine:
             n_ok = int(n_ok)
         live = head[:, 0] >= 0
         head = head[live]
-        summaries = unpack_summary(packed[live].astype(np.int32), top_k)
+        summaries = unpack_summary(packed[live].astype(np.int32), top_k,
+                                   lean=self.lean)
         out = [[] for _ in range(M)]
         for b in range(head.shape[0]):
             mi = int(head[b, 0])
