@@ -38,6 +38,13 @@ from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
     unpack_summary, _bucket
 
 
+@functools.partial(jax.jit, static_argnames=("B", "Lb", "L"))
+def _slice_chains(head, chains, B: int, Lb: int, L: int):
+    """Live-rows x real-length view of an overlap dispatch result (rows
+    are compacted live-first on device; see collect_chains)."""
+    return head[:B], chains[:B, :Lb], chains[:B, L : L + Lb]
+
+
 def _count_rows(membership, buckets):
     """Retrieval: hit counts as a gather+sum over the membership matrix.
     ``buckets [M, R]`` (pad -1) -> ``[M, C]`` int32.
@@ -66,6 +73,31 @@ def _count_rows(membership, buckets):
         [buckets, jnp.full((MP - M, R), -1, buckets.dtype)])
     out = jax.lax.map(counts, b.reshape(MP // mc, mc, R))
     return out.reshape(MP, C)[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("H", "hashed"))
+def _derive_membership(t_seeds, H: int, hashed: bool):
+    """Resident [H, CP] int8 membership built ON DEVICE from the chunk
+    seed tables: the same seed-id -> hash-bucket mapping as the host
+    ``match.hash_ids`` (identity when the seed space fits, else Knuth
+    multiplicative mod a power-of-two H — the uint32 wrap-around product
+    equals numpy's 64-bit (id * knuth) % H).  Duplicate seeds within a
+    chunk scatter 1 repeatedly — identical to the host's unique() +
+    assign.  Valid only when no chunk's seed list was truncated to the
+    table width (the caller's guard)."""
+    CP, nt = t_seeds.shape
+    live = t_seeds >= 0
+    if hashed:
+        h = ((t_seeds.astype(jnp.uint32) * jnp.uint32(2654435761))
+             & jnp.uint32(H - 1)).astype(jnp.int32)
+    else:
+        h = t_seeds
+    rows = jnp.where(live, h, H)           # dead slots -> scratch row
+    cols = jnp.broadcast_to(jnp.arange(CP, dtype=jnp.int32)[:, None],
+                            (CP, nt))
+    mem = jnp.zeros((H + 1, CP), jnp.int8)
+    mem = mem.at[rows.reshape(-1), cols.reshape(-1)].set(1)
+    return mem[:H]
 
 
 @functools.partial(jax.jit, static_argnames=("C",))
@@ -391,7 +423,11 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     ct = ct.T.astype(jnp.int16)
     head = jnp.stack([jnp.where(live, mi, -1), ci, best_len,
                       dcounts[mi, ci]], axis=1)
-    return head, jnp.concatenate([cq, ct], axis=1), n_ok
+    # max live chain length: lets the collector slice the chains fetch
+    # to [live rows, real length] (the full [budget, 2L] array is ~6 MB
+    # per overlap round -- the dominant fetch on a slow link)
+    mx = jnp.max(jnp.minimum(best_len, chain_len))
+    return head, jnp.concatenate([cq, ct], axis=1), n_ok, mx
 
 
 class MapEngine:
@@ -417,7 +453,16 @@ class MapEngine:
         C = index.num_sequences
         self.C = C
         CP = max(128, ((C + 127) // 128) * 128)
-        mem = np.zeros((self.H, CP), dtype=np.int8)
+        self.seed_sharded = (mesh is not None
+                             and "seed" in mesh.axis_names
+                             and mesh.shape["seed"] > 1)
+        # host membership build is skipped when it will be derived on
+        # device from the chunk tables (no chunk truncated to nt)
+        derive_mem = (not self.seed_sharded
+                      and max((s.num_seeds for s in index.sequences),
+                              default=0) <= nt)
+        mem = (None if derive_mem
+               else np.zeros((self.H, CP), dtype=np.int8))
         t_seeds = np.full((max(1, CP), nt), -1, np.int32)
         t_pos = np.zeros((max(1, CP), nt), np.int32)
         self.chunk_nseeds = np.zeros(max(1, CP), np.int64)
@@ -426,7 +471,7 @@ class MapEngine:
         self.chunk_inset = np.zeros(max(1, CP), np.int64)
         self.chunk_len = np.zeros(max(1, CP), np.int64)
         for ci_, s in enumerate(index.sequences):
-            if s.seeds.size:
+            if mem is not None and s.seeds.size:
                 mem[match_ops.hash_ids(np.unique(s.seeds), S, self.H),
                     ci_] = 1
             m = min(s.num_seeds, nt)
@@ -436,9 +481,6 @@ class MapEngine:
             self.chunk_off[ci_] = s.offset
             self.chunk_inset[ci_] = s.inset
             self.chunk_len[ci_] = s.length
-        self.seed_sharded = (mesh is not None
-                             and "seed" in mesh.axis_names
-                             and mesh.shape["seed"] > 1)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
@@ -448,26 +490,6 @@ class MapEngine:
         else:
             self._put = jax.device_put
             self._put_data = jax.device_put
-        if self.seed_sharded:
-            # shard the hash-bucket axis across the seed mesh axis: each
-            # device holds H/n_seed rows; retrieval psums partial counts
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            ns = mesh.shape["seed"]
-            HP = ((self.H + ns - 1) // ns) * ns
-            if HP != self.H:
-                mem = np.concatenate(
-                    [mem, np.zeros((HP - self.H, mem.shape[1]), mem.dtype)])
-            self.membership = jax.device_put(
-                mem, NamedSharding(mesh, P("seed", None)))
-            self._sharded_counts = make_sharded_counts(mesh)
-        else:
-            # ship the 0/1 matrix BIT-PACKED (8x less link traffic — the
-            # overlap driver rebuilds and re-uploads the index every
-            # round) and unpack once on device into the resident int8
-            packed = np.packbits(mem, axis=1)
-            self.membership = _unpack_membership(
-                self._put(packed), mem.shape[1])
-            self._sharded_counts = None
         # int16 chain-DP carries are safe when every target position fits
         # under 2^14 (default 10 kb chunks do); the query side is checked
         # per dispatch
@@ -482,6 +504,34 @@ class MapEngine:
             self.t_pos = _to_i32(self._put(t_pos.astype(np.int16)))
         else:
             self.t_pos = self._put(t_pos)
+        hashed = S > self.H
+        if self.seed_sharded:
+            # shard the hash-bucket axis across the seed mesh axis: each
+            # device holds H/n_seed rows; retrieval psums partial counts
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ns = mesh.shape["seed"]
+            HP = ((self.H + ns - 1) // ns) * ns
+            if HP != self.H:
+                mem = np.concatenate(
+                    [mem, np.zeros((HP - self.H, mem.shape[1]), mem.dtype)])
+            self.membership = jax.device_put(
+                mem, NamedSharding(mesh, P("seed", None)))
+            self._sharded_counts = make_sharded_counts(mesh)
+        elif derive_mem:
+            # every chunk's full seed list is resident in t_seeds, so the
+            # membership matrix is DERIVED on device (same unique-seed ->
+            # hash-bucket scatter the host build does) — dropping what
+            # was the dominant upload of every overlap round entirely
+            self.membership = _derive_membership(self.t_seeds, self.H,
+                                                 hashed)
+            self._sharded_counts = None
+        else:
+            # truncated chunk(s): ship the exact 0/1 matrix BIT-PACKED
+            # (8x less link traffic) and unpack once on device
+            packed = np.packbits(mem, axis=1)
+            self.membership = _unpack_membership(
+                self._put(packed), mem.shape[1])
+            self._sharded_counts = None
         # "usable" per Matches: seeds present in every chunk carry no info
         if index._seed_counts is None:
             index.index_sequences()
@@ -920,20 +970,29 @@ class MapEngine:
                                  _defer=True)
 
     def collect_chains(self, futs):
-        """Blocking half of ``query_chains``."""
+        """Blocking half of ``query_chains``.
+
+        Two-phase fetch: the scalar (count, max chain length) pair
+        first, then the head/chain arrays SLICED on device to the
+        bucketed live-row count and real max chain length.  Unlike the
+        mapper's summary rows (see collect_arrays_many), the chains
+        array is wide enough (2 x chain_len int16 ~ 512 B/row) that the
+        bytes saved dwarf the extra link round trip: a 20x-coverage
+        overlap round fetches ~1 MB instead of ~6.5 MB."""
         if isinstance(futs, list):       # empty-input fast path
             return futs
         M, fut, pair_budget, call, chain_len = futs
-        # one transfer for head+chains+count: three separate fetches cost
-        # three link round trips (~0.15 s each over a tunnelled TPU)
-        head, chains, n = jax.device_get(fut)
-        n = int(n)
+        head_d, chains_d, n_d, mx_d = fut
+        n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
         while n > pair_budget:
             pair_budget *= 4
-            head, chains, n = jax.device_get(call(pair_budget))
-            n = int(n)
+            head_d, chains_d, n_d, mx_d = call(pair_budget)
+            n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
+        B = min(head_d.shape[0], max(2048, -(-n // 2048) * 2048))
+        Lb = min(chain_len, max(32, -(-mx // 32) * 32))
+        head, cq, ct = jax.device_get(
+            _slice_chains(head_d, chains_d, B, Lb, chain_len))
         out = [[] for _ in range(M)]
-        L = chain_len
         for b in range(head.shape[0]):
             mi = int(head[b, 0])
             if mi < 0 or mi >= M:
@@ -941,8 +1000,8 @@ class MapEngine:
             blen = int(head[b, 2])
             if blen <= 0:
                 continue
-            ma = chains[b, :blen][::-1].astype(np.int64)
-            mb = chains[b, L : L + blen][::-1].astype(np.int64)
+            ma = cq[b, :blen][::-1].astype(np.int64)
+            mb = ct[b, :blen][::-1].astype(np.int64)
             out[mi].append((int(head[b, 1]), int(head[b, 3]), blen,
                             ma, mb))
         return out

@@ -149,3 +149,57 @@ def test_build_consensus(overlap_setup):
             for m in contig.matches:
                 assert len(m.match_a) >= 3
     assert built >= 1
+
+
+def test_device_derived_membership_matches_host():
+    """When no chunk is truncated, MapEngine derives the membership
+    matrix on device from the resident chunk seed tables; it must equal
+    the host unique-seed hash scatter bit-for-bit (both the identity and
+    the forced-hash bucket regimes)."""
+    import numpy as np
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.seeds import SeedIndex
+    from downpore_tpu.ops.map_engine import MapEngine
+    from downpore_tpu.ops import match as match_ops
+
+    rng = np.random.default_rng(55)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    k = 8
+    index = SeedIndex(k)
+    values = np.ones(4 ** k)
+    seqs = []
+    for i in range(24):
+        s = Sequence.from_string(
+            bases[rng.integers(0, 4, 3000)].tobytes().decode(), id=i)
+        seqs.append(s)
+        index.add_seeds(s, 40, values)
+    for s in seqs:
+        index.add_sequence(index.new_seed_sequence(s))
+    index.index_sequences()
+    max_ts = max(s.num_seeds for s in index.sequences)
+    eng = MapEngine(index, k, nq=64, nt=((max_ts + 127) // 128) * 128)
+    got = np.asarray(eng.membership)
+    S = index.num_seeds
+    H = eng.H
+    mem = np.zeros((H, got.shape[1]), np.int8)
+    for ci, s in enumerate(index.sequences):
+        if s.seeds.size:
+            mem[match_ops.hash_ids(np.unique(s.seeds), S, H), ci] = 1
+    assert np.array_equal(got, mem)
+
+    # forced-hash regime: H smaller than the seed count
+    H2 = 64
+    import downpore_tpu.ops.map_engine as ME
+    orig = match_ops.choose_hash_size
+    match_ops.choose_hash_size = lambda n, max_h=1 << 17: H2
+    try:
+        eng2 = MapEngine(index, k, nq=64,
+                         nt=((max_ts + 127) // 128) * 128)
+    finally:
+        match_ops.choose_hash_size = orig
+    got2 = np.asarray(eng2.membership)
+    mem2 = np.zeros((H2, got2.shape[1]), np.int8)
+    for ci, s in enumerate(index.sequences):
+        if s.seeds.size:
+            mem2[match_ops.hash_ids(np.unique(s.seeds), S, H2), ci] = 1
+    assert np.array_equal(got2, mem2)
