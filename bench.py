@@ -279,17 +279,21 @@ def bench_overlap():
     def run_job():
         """The FULL all-vs-all job: seed-budgeted rounds until every
         read has been queried (the reference's round loop,
-        commands/overlap.go:115), with the pipelined driver — next
-        round's host prep runs under the in-flight find."""
+        commands/overlap.go:115), with the two-deep pipelined driver —
+        the next round's host prep AND dispatch (index upload) run
+        under the in-flight find."""
         matches = 0
         rounds = 0
         prepped = prep_round(0)
+        futs = prepped[0].dispatch_find(prepped[1]) if prepped else None
         while prepped is not None:
             ov, queries, nxt = prepped
-            futs = ov.dispatch_find(queries)
             prepped = prep_round(nxt) if nxt < n_reads else None
+            futs_next = (prepped[0].dispatch_find(prepped[1])
+                         if prepped else None)
             matches += len(ov.collect_find(queries, futs))
             rounds += 1
+            futs = futs_next
         return matches, rounds
 
     run_job()                        # warmup compiles

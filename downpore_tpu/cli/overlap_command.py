@@ -93,22 +93,26 @@ class OverlapCommand(Command):
             return index, overlapper, queries, nxt
 
         prepped = prep_round(first_sequence)
+        futs = prepped[1].dispatch_find(prepped[2]) if prepped else None
         while prepped is not None:
             index, overlapper, queries, next_first = prepped
             num_query_seqs = max(q.id for q in queries) + 1
             print(f"Using query set with {num_query_seqs} sequences "
                   f"starting from {next_first} against "
                   f"{seq_set.size} sequences.", file=sys.stderr)
-            futs = overlapper.dispatch_find(queries)
-            # SPECULATIVELY prep the next round while this round's find
-            # is in flight on device.  The prep depends on the read
-            # set's ignore flags, which this round's final check may
-            # still change (full-coverage ignores, ref
+            # SPECULATIVELY prep AND dispatch the next round while this
+            # round's find is in flight (two rounds deep: the next
+            # round's index upload rides the link while this round's
+            # results come back).  The prep depends on the read set's
+            # ignore flags, which this round's final check may still
+            # change (full-coverage ignores, ref
             # commands/overlap.go:205,221-223) — snapshot the flags and
-            # redo the prep below if they moved, so output stays
+            # redo prep+dispatch below if they moved, so output stays
             # identical to the unpipelined driver.
             ignores_before = sum(seq_set.ignore)
-            prepped = prep_round(next_first)
+            prepped_next = prep_round(next_first)
+            futs_next = (prepped_next[1].dispatch_find(prepped_next[2])
+                         if prepped_next else None)
             matches = overlapper.collect_find(queries, futs)
             query_results = [[] for _ in range(num_query_seqs)]
             hits = 0
@@ -128,10 +132,14 @@ class OverlapCommand(Command):
                 seq_set.save_state(ckpt,
                                    {"first_sequence": first_sequence,
                                     "round": round_no})
-            if prepped is not None and sum(seq_set.ignore) != ignores_before:
+            if (prepped_next is not None
+                    and sum(seq_set.ignore) != ignores_before):
                 # this round ignored reads: the speculative prep saw
                 # stale flags — discard and redo it
-                prepped = prep_round(first_sequence)
+                prepped_next = prep_round(first_sequence)
+                futs_next = (prepped_next[1].dispatch_find(prepped_next[2])
+                             if prepped_next else None)
+            prepped, futs = prepped_next, futs_next
 
     def _final_check(self, results, index, seq_set, overlap_size):
         """PAF emission + full-coverage ignore

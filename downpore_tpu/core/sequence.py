@@ -152,6 +152,18 @@ def kmer_string(value: int, k: int) -> str:
     return out.decode("ascii")
 
 
+def kmer_reverse_complement_vec(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized ``kmer_reverse_complement`` over an int array (k numpy
+    passes instead of a Python loop per k-mer — the scalar form was a
+    hot spot of overlap query prep)."""
+    km = np.asarray(kmers, dtype=np.int64).copy()
+    rc = np.zeros_like(km)
+    for _ in range(k):
+        rc = (rc << 2) | ((km ^ 3) & 3)
+        km >>= 2
+    return rc
+
+
 def kmer_reverse_complement(kmer: int, k: int) -> int:
     """Reverse complement of an integer k-mer (ref: seeds/sequence.go:125)."""
     rc = 0

@@ -46,9 +46,14 @@ def load() -> Optional[ctypes.CDLL]:
                  "-pthread", src, "-o", lib],
                 check=True, capture_output=True, timeout=120)
         L = ctypes.CDLL(lib)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
+        # all pointer args are c_void_p and call sites pass the raw
+        # ``arr.ctypes.data`` integer: data_as(POINTER(...)) casts cost
+        # ~10 us each and dominated per-sequence native calls (overlap
+        # query prep made ~45k of them per round)
+        u8p = ctypes.c_void_p
+        i32p = ctypes.c_void_p
+        i64p = ctypes.c_void_p
+        f64p = ctypes.c_void_p
         L.encode_bases.argtypes = [u8p, ctypes.c_int64, u8p]
         L.rolling_kmers.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32, i32p]
         L.count_seed_kmers.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
@@ -65,7 +70,6 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p,
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p,
             i32p, i64p, ctypes.c_int32]
-        f64p = ctypes.POINTER(ctypes.c_double)
         L.add_seeds_walk.argtypes = [i32p, f64p, u8p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int32,
                                      ctypes.c_int64, i32p]
@@ -88,8 +92,10 @@ def load() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
-def _ptr(a: np.ndarray, typ):
-    return a.ctypes.data_as(ctypes.POINTER(typ))
+def _ptr(a: np.ndarray, typ=None):
+    """Raw data pointer as int (argtypes are c_void_p; the caller keeps
+    the array referenced for the duration of the call)."""
+    return a.ctypes.data
 
 
 def encode_bases(raw: bytes) -> Optional[np.ndarray]:

@@ -38,6 +38,15 @@ class SeedIndex:
     def num_sequences(self) -> int:
         return len(self.sequences)
 
+    def seed_kmers_of(self, seeds: np.ndarray) -> np.ndarray:
+        """Vectorized seed id -> k-mer lookup (cached numpy view of
+        ``seed_map``, rebuilt only when seeds were added)."""
+        cached = getattr(self, "_seed_map_arr", None)
+        if cached is None or cached.shape[0] != len(self.seed_map):
+            cached = np.array(self.seed_map, dtype=np.int64)
+            self._seed_map_arr = cached
+        return cached[seeds]
+
     def _add_seed_kmer(self, kmer: int) -> int:
         """Register a k-mer as a seed, returning its seed id."""
         if self.kmer_table[kmer]:

@@ -179,11 +179,10 @@ class SeedSequence:
         (ref: seeds/sequence.go:134-159)."""
         if self._rc_cache is not None:
             return self._rc_cache
-        rc_seeds = np.empty_like(self.seeds)
-        for i, s in enumerate(self.seeds):
-            kmer = index.seed_map[int(s)]
-            rc_seeds[self.num_seeds - 1 - i] = index.kmer_map[
-                kmer_reverse_complement(int(kmer), k)]
+        from ..core.sequence import kmer_reverse_complement_vec
+        kmers = index.seed_kmers_of(self.seeds)
+        rc_seeds = index.kmer_map[
+            kmer_reverse_complement_vec(kmers, k)][::-1].copy()
         ns = SeedSequence(self.gaps[::-1].copy(), rc_seeds, id=self.id,
                           length=self.length, offset=self.offset,
                           inset=self.inset, rc=not self.rc, parent=self.parent)
