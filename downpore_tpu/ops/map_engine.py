@@ -993,17 +993,14 @@ class MapEngine:
         head, cq, ct = jax.device_get(
             _slice_chains(head_d, chains_d, B, Lb, chain_len))
         out = [[] for _ in range(M)]
-        for b in range(head.shape[0]):
-            mi = int(head[b, 0])
-            if mi < 0 or mi >= M:
-                continue
-            blen = int(head[b, 2])
-            if blen <= 0:
-                continue
-            ma = cq[b, :blen][::-1].astype(np.int64)
-            mb = ct[b, :blen][::-1].astype(np.int64)
-            out[mi].append((int(head[b, 1]), int(head[b, 3]), blen,
-                            ma, mb))
+        live = np.flatnonzero((head[:, 0] >= 0) & (head[:, 0] < M)
+                              & (head[:, 2] > 0))
+        hl = head[live].tolist()
+        for i, b in enumerate(live.tolist()):
+            mi, ci, blen, dc = hl[i]
+            ma = cq[b, blen - 1::-1].tolist()
+            mb = ct[b, blen - 1::-1].tolist()
+            out[mi].append((ci, dc, blen, ma, mb))
         return out
 
     def collect_arrays(self, futs):

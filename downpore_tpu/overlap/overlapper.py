@@ -257,7 +257,8 @@ class Overlapper:
             for ci, dcount, best_len, ma, mb in per_meta[qi]:
                 if best_len < max(1, min_m):
                     continue
-                m = SeedMatch([int(a) for a in ma], [int(b) for b in mb],
+                m = SeedMatch(ma if isinstance(ma, list) else ma.tolist(),
+                              mb if isinstance(mb, list) else mb.tolist(),
                               q.query, self.index.sequences[ci],
                               query_id=q.id, rc_query=q.rc)
                 results.append(m)
