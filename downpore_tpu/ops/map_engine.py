@@ -114,6 +114,19 @@ def _to_i32(a):
     return a.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("nt",))
+def _split_tables(both, nt: int):
+    """Split the combined [CP, 2*nt] int16 chunk-table transfer back
+    into resident int32 (t_seeds, t_pos)."""
+    return both[:, :nt].astype(jnp.int32), both[:, nt:].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _split_query(comb, w: int):
+    """Split a combined per-dispatch query transfer at column ``w``."""
+    return comb[:, :w], comb[:, w:]
+
+
 def _derive_buckets(q_seeds, usable, H: int, hashed: bool):
     """On-device twin of the host run/distinct bucket derivation
     (``pack_query_windows``): run-collapse over usable seeds
@@ -495,14 +508,21 @@ class MapEngine:
         # per dispatch
         self._t_small = int(t_pos.max(initial=0)) < 16000
         # halve the chunk-table transfers when values fit int16 (cast
-        # back on device)
-        if S < (1 << 15):
+        # back on device); when BOTH fit, ship them as one combined
+        # array — each device_put pays its own link round trip
+        if S < (1 << 15) and int(t_pos.max(initial=0)) < (1 << 15):
+            both = self._put(np.concatenate(
+                [t_seeds.astype(np.int16), t_pos.astype(np.int16)],
+                axis=1))
+            self.t_seeds, self.t_pos = _split_tables(both, nt)
+        elif S < (1 << 15):
             self.t_seeds = _to_i32(self._put(t_seeds.astype(np.int16)))
-        else:
+            self.t_pos = self._put(t_pos)
+        elif int(t_pos.max(initial=0)) < (1 << 15):
             self.t_seeds = self._put(t_seeds)
-        if int(t_pos.max(initial=0)) < (1 << 15):
             self.t_pos = _to_i32(self._put(t_pos.astype(np.int16)))
         else:
+            self.t_seeds = self._put(t_seeds)
             self.t_pos = self._put(t_pos)
         hashed = S > self.H
         if self.seed_sharded:
@@ -821,8 +841,14 @@ class MapEngine:
             a_c[:Mq, nq + 1] = np.minimum(np.asarray(base_min), 1 << 14)
             a_c[:Mq, nq + 2] = q_len
             a_c[Mq:] = 0
-            a_dev = self._put_data(a_c)
-            s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
+            s_c = padm(q_seeds.astype(sdt), -1)
+            if a_c.dtype == s_c.dtype:
+                a_dev, s_dev = _split_query(
+                    self._put_data(np.concatenate([a_c, s_c], axis=1)),
+                    a_c.shape[1])
+            else:
+                a_dev = self._put_data(a_c)
+                s_dev = self._put_data(s_c)
 
             def call(budget):
                 return _fused_map_d(a_dev, s_dev, self.usable_dev,
@@ -923,8 +949,15 @@ class MapEngine:
                                               1 << 14)
             a_c[Mq:, nq_eff + 1] = 1 << 14
             sdt = np.int16 if self.num_seeds < (1 << 15) else np.int32
-            a_dev = self._put_data(a_c)
-            s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
+            s_c = padm(q_seeds.astype(sdt), -1)
+            if a_c.dtype == s_c.dtype:
+                # one combined transfer: each device_put pays a round trip
+                a_dev, s_dev = _split_query(
+                    self._put_data(np.concatenate([a_c, s_c], axis=1)),
+                    a_c.shape[1])
+            else:
+                a_dev = self._put_data(a_c)
+                s_dev = self._put_data(s_c)
 
             def call(budget):
                 return _fused_overlap_d(
