@@ -39,9 +39,19 @@ def _argmin_last(x, axis=-1):
     ``jnp.argmin``'s lowest-index tie-break pins the frontier at the
     plateau's start, the advance-requiring vote rule then keeps passing
     forever, and the beam emits unbounded run extensions — the failure
-    the parity harness catches on homopolymer/drift cases."""
+    the parity harness catches on homopolymer/drift cases.
+
+    Implemented as a plain single-output min over the encoded key
+    ``x * (2n) + (n-1-lane)`` with the lane decoded from the low bits:
+    among equal x the smaller key sits at the HIGHER lane, and the
+    value/index pair-reduce XLA emits for argmin over the lane-minor
+    axis measured ~4x the cost of this min+mod (240 us -> tens of us per
+    step at bench shapes).  Exact while 0 <= x <= FULL (keys < 2^23)."""
     n = x.shape[axis]
-    return (n - 1) - jnp.argmin(jnp.flip(x, axis), axis=axis)
+    assert axis in (-1, x.ndim - 1)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    key = x * (2 * n) + (n - 1 - lane)
+    return (n - 1) - jnp.min(key, axis=axis) % (2 * n)
 
 
 def _band_update(poffs, ds, threshold):
@@ -260,8 +270,13 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         shift = jnp.where(do, drift, 0)
         new_off = _barrel_shift(new_off, shift, jnp.int32(FULL))
         new_pos = new_pos - shift
-        # finished: any live member's best lane reaches its end
-        best_lane = _argmin_last(new_off, axis=2)
+        # finished: any live member's best lane reaches its end.  The
+        # post-shift argmin is derivable without a second reduce pass
+        # (~0.2 s/704-step batch in the profile): the barrel shift moves
+        # lanes rigidly and fills vacated lanes with FULL, so the
+        # tie-highest minimum lands exactly at bp + shift — centre when
+        # recentred, bp otherwise.
+        best_lane = jnp.where(do, centre, bp)
         seq_pos = new_pos + best_lane - centre
         new_fin = fin | jnp.any((seq_pos >= lens[None, :] - 1)
                                 & (lens[None, :] > 0), axis=1)
@@ -274,6 +289,12 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
                flat_cost[top])
         return new_state, rec
 
+    # scan, not while_loop: early exit at the first finisher was tried
+    # two ways and LOST both times — a per-step while_loop copies the
+    # record buffers every iteration (2.7x slower), and an outer while
+    # over 64-step scan segments saved too few steps to cover its copy
+    # overhead (a vmapped batch runs until its slowest job's first
+    # finisher, typically ~90% of t_max at bench shapes).
     final, (kmers, parents, fin_at, costs) = jax.lax.scan(
         step, state, None, length=t_max)
     chain, n_valid = _device_traceback(kmers, parents, fin_at, costs)
