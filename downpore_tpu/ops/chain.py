@@ -331,6 +331,21 @@ def summarize_dp(out, min_match, alen, k: int, top_k: int = 4,
     return packed
 
 
+def compact_indices(mask_flat, size: int):
+    """First ``size`` indices of the set bits of ``mask_flat``,
+    ascending, padded with ``len(mask_flat)`` past the count — the
+    semantics of ``jnp.nonzero(size=..., fill_value=len)`` — plus the
+    total set-bit count.  cumsum + batched binary search: the scatter
+    XLA emits for nonzero measured 2.2x slower on TPU and was the
+    largest single op of the fused map kernel at genome-scale chunk
+    counts."""
+    csum = jnp.cumsum(mask_flat.astype(jnp.int32))
+    sel = jnp.searchsorted(csum,
+                           jnp.arange(1, size + 1, dtype=jnp.int32),
+                           side="left")
+    return sel, csum[-1]
+
+
 SUMMARY_SCALARS = ["best", "ident_cov_q", "earliest", "latest", "n_chains"]
 SUMMARY_TOPS = ["top_valid", "top_sqp", "top_stp", "top_eqp", "top_etp",
                 "top_cov_q", "top_cov_t", "top_len"]

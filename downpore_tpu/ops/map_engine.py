@@ -35,7 +35,7 @@ import numpy as np
 
 from . import match as match_ops
 from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
-    unpack_summary, _bucket
+    unpack_summary, _bucket, compact_indices
 
 
 @functools.partial(jax.jit, static_argnames=("B", "Lb", "L"))
@@ -232,14 +232,8 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     # compact passing pairs (query-major, chunk-ascending — the order the
     # reference walks candidates) to the fixed budget
     ok_flat = ok.reshape(-1)
-    # scatter-free nonzero: cumsum + batched binary search measures 2.2x
-    # faster than jnp.nonzero's scatter on TPU (the scatter was 59% of
-    # the whole fused kernel at genome-scale C) and is exact, including
-    # the ascending order and the M*C fill for slots past the count
-    csum = jnp.cumsum(ok_flat.astype(jnp.int32))
-    sel = jnp.searchsorted(
-        csum, jnp.arange(1, pair_budget + 1, dtype=jnp.int32), side="left")
-    n_ok = csum[-1]
+    # scatter-free nonzero (see chain.compact_indices)
+    sel, n_ok = compact_indices(ok_flat, pair_budget)
     live = sel < M * C
     cl = jnp.clip(sel, 0, M * C - 1)
     mi = jnp.where(live, cl // C, 0)
@@ -401,14 +395,8 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     ok = (counts >= min_count[:, None]) & (dcounts >= base_min[:, None]) \
         & (min_count[:, None] > 0)
     ok_flat = ok.reshape(-1)
-    # scatter-free nonzero: cumsum + batched binary search measures 2.2x
-    # faster than jnp.nonzero's scatter on TPU (the scatter was 59% of
-    # the whole fused kernel at genome-scale C) and is exact, including
-    # the ascending order and the M*C fill for slots past the count
-    csum = jnp.cumsum(ok_flat.astype(jnp.int32))
-    sel = jnp.searchsorted(
-        csum, jnp.arange(1, pair_budget + 1, dtype=jnp.int32), side="left")
-    n_ok = csum[-1]
+    # scatter-free nonzero (see chain.compact_indices)
+    sel, n_ok = compact_indices(ok_flat, pair_budget)
     live = sel < M * C
     cl = jnp.clip(sel, 0, M * C - 1)
     mi = jnp.where(live, cl // C, 0)

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .chain import chain_batch_summary, _bucket, make_anchors_topk
+from .chain import chain_batch_summary, _bucket, make_anchors_topk, \
+    compact_indices
 
 
 def _unpack_kmers(packed, k: int, W: int):
@@ -213,7 +214,7 @@ def _fused_match(packed, lens, km_table, gate_min, chain_min,
         # rows directly — [B+1, M+2] int32 of (pair_idx, ai, summary...)
         # is ~8x smaller than the full [n, T, M+1] grid
         B = ((pair_budget + CHUNK - 1) // CHUNK) * CHUNK
-        sel = jnp.nonzero(ok_flat, size=B, fill_value=PC)[0]
+        sel, _ = compact_indices(ok_flat, B)
         live = sel < PC
         cl = jnp.clip(sel, 0, PC - 1)
         ei_s = jnp.where(live, ei_all[cl], 0)
@@ -241,7 +242,7 @@ def _compact_pairs(ok_flat, ei_p, ai_p, mm_p, budget: int, chunk: int):
     original pair index of each slot (PC for dead slots)."""
     PC = ei_p.shape[0]
     B = ((budget + chunk - 1) // chunk) * chunk
-    sel = jnp.nonzero(ok_flat, size=B, fill_value=PC)[0]
+    sel, _ = compact_indices(ok_flat, B)
     live = sel < PC
     cl = jnp.clip(sel, 0, PC - 1)
     return (sel, live, jnp.where(live, ei_p[cl], 0),
@@ -445,9 +446,8 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
                                   chain_min, top_t)
     if pair_budget:
         ok_flat = mm < _BIGM
-        n_ok = jnp.sum(ok_flat.astype(jnp.int32))
         P0 = ei.shape[0]
-        sel = jnp.nonzero(ok_flat, size=pair_budget, fill_value=P0)[0]
+        sel, n_ok = compact_indices(ok_flat, pair_budget)
         live = sel < P0
         selc = jnp.clip(sel, 0, P0 - 1)
         ei = jnp.where(live, ei[selc], 0)
@@ -492,7 +492,7 @@ def _fused_window_verdict(packed, lens, km_table, gate_min, chain_min,
     identity = identity.reshape(PC, top_k)
     n_det = jnp.sum(det.astype(jnp.int32))
     flat = det.reshape(-1)
-    didx = jnp.nonzero(flat, size=det_budget, fill_value=flat.shape[0])[0]
+    didx, _ = compact_indices(flat, det_budget)
     dlive = didx < flat.shape[0]
     pi = jnp.clip(didx // top_k, 0, PC - 1)
     ci = didx % top_k
