@@ -78,6 +78,42 @@ def _count_rows(membership, buckets):
     return out.reshape(MP, C)[:M]
 
 
+def _count_rows_pair(membership, rb, db):
+    """Run + distinct retrieval counts from ONE membership gather.
+
+    On the device-derived bucket path the distinct buckets ``db`` are the
+    run buckets ``rb`` with duplicate slots masked to -1 (same slot
+    layout, see ``_derive_buckets``), so a single gather of the rb rows
+    serves both sums — halving what is the dominant HBM traffic of a
+    genome-scale dispatch (the gathered block is [M, R, C])."""
+    C = membership.shape[1]
+    M, R = rb.shape
+
+    def counts2(args):
+        b, first = args
+        live = b >= 0
+        rows = jnp.take(membership, jnp.clip(b, 0), axis=0)  # [m,R,C]
+        rows = jnp.where(live[:, :, None], rows, 0)
+        c = jnp.sum(rows, axis=1, dtype=jnp.int32)
+        d = jnp.sum(jnp.where(first[:, :, None], rows, 0), axis=1,
+                    dtype=jnp.int32)
+        return c, d
+
+    first = db >= 0
+    if M * R * C <= (1 << 28):
+        return counts2((rb, first))
+    mc = max(1, (1 << 28) // max(1, R * C))
+    mc = max(8, (mc // 8) * 8)
+    MP = ((M + mc - 1) // mc) * mc
+    if MP != M:
+        rb = jnp.concatenate([rb, jnp.full((MP - M, R), -1, rb.dtype)])
+        first = jnp.concatenate(
+            [first, jnp.zeros((MP - M, R), bool)])
+    c, d = jax.lax.map(counts2, (rb.reshape(MP // mc, mc, R),
+                                 first.reshape(MP // mc, mc, R)))
+    return c.reshape(MP, C)[:M], d.reshape(MP, C)[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("H", "hashed"))
 def _derive_membership(t_seeds, H: int, hashed: bool):
     """Resident [H, CP] int8 membership built ON DEVICE from the chunk
@@ -316,8 +352,7 @@ def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
     q_len = a[:, nq + 2]
     qs = q_seeds.astype(jnp.int32)
     q_rb, q_db = _derive_buckets(qs, usable, membership.shape[0], hashed)
-    counts = _count_rows(membership, q_rb)
-    dcounts = _count_rows(membership, q_db)
+    counts, dcounts = _count_rows_pair(membership, q_rb, q_db)
     return _map_from_counts(counts, dcounts, qs, q_pos, min_count,
                             base_min, q_len, t_seeds, t_pos, k=k,
                             pair_budget=pair_budget, top_k=top_k,
@@ -372,8 +407,7 @@ def _fused_overlap_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
     base_min = a[:, nq + 1]
     qs = q_seeds.astype(jnp.int32)
     q_rb, q_db = _derive_buckets(qs, usable, membership.shape[0], hashed)
-    counts = _count_rows(membership, q_rb)
-    dcounts = _count_rows(membership, q_db)
+    counts, dcounts = _count_rows_pair(membership, q_rb, q_db)
     return _overlap_from_counts(counts, dcounts, qs, q_pos, min_count,
                                 base_min, t_seeds, t_pos, k=k,
                                 pair_budget=pair_budget, variant=variant,
@@ -800,6 +834,13 @@ class MapEngine:
             # Small (mapNext/split) batches get a proportionally small
             # budget: 2 pairs/row still leaves escalation rare.
             pair_budget = max(512, 2 * MB) if MB <= 512 else max(4096, MB)
+            if self.num_seeds > 2 * self.H:
+                # heavy hash-bucket collision pressure (genome-scale
+                # seed counts over the capped bucket space) inflates
+                # gate passes: observed 1.4 pairs/row at 6.6 ids/bucket
+                # where sub-collision loads see ~0.5.  Double the budget
+                # so every dispatch doesn't pay the 4x escalation re-run.
+                pair_budget *= 2
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
 
