@@ -128,3 +128,22 @@ def test_extent_propagation():
     assert out["start_tp"][0][a] == tpos[0]
     assert out["end_qp"][0][a] == pos[-1]
     assert out["end_tp"][0][a] == tpos[-1]
+
+
+def test_compact_indices_matches_nonzero():
+    """compact_indices must reproduce jnp.nonzero(size=, fill_value=len)
+    exactly: ascending set-bit indices, fill past the count, and the
+    true count — across empty, sparse, dense and overflowing masks."""
+    import jax.numpy as jnp
+    import numpy as np
+    from downpore_tpu.ops.chain import compact_indices
+
+    rng = np.random.default_rng(7)
+    for n, size, dens in [(1024, 64, 0.0), (1024, 64, 0.01),
+                          (4096, 256, 0.5), (333, 512, 0.2),
+                          (4096, 16, 0.9)]:
+        mask = rng.random(n) < dens
+        sel, cnt = compact_indices(jnp.asarray(mask), size)
+        ref = jnp.nonzero(jnp.asarray(mask), size=size, fill_value=n)[0]
+        assert np.array_equal(np.asarray(sel), np.asarray(ref)), (n, size, dens)
+        assert int(cnt) == int(mask.sum())
