@@ -280,20 +280,30 @@ def bench_overlap():
         """The FULL all-vs-all job: seed-budgeted rounds until every
         read has been queried (the reference's round loop,
         commands/overlap.go:115), with the two-deep pipelined driver —
-        the next round's host prep AND dispatch (index upload) run
-        under the in-flight find."""
+        the next round's host prep runs on a worker thread under the
+        in-flight find AND the current round's collect (the native seed
+        walks release the GIL), and its dispatch (index upload) rides
+        the link alongside the result fetch."""
+        from concurrent.futures import ThreadPoolExecutor
         matches = 0
         rounds = 0
+        ex = ThreadPoolExecutor(max_workers=1)
         prepped = prep_round(0)
         futs = prepped[0].dispatch_find(prepped[1]) if prepped else None
+        prep_fut = (ex.submit(prep_round, prepped[2])
+                    if prepped and prepped[2] < n_reads else None)
         while prepped is not None:
             ov, queries, nxt = prepped
-            prepped = prep_round(nxt) if nxt < n_reads else None
-            futs_next = (prepped[0].dispatch_find(prepped[1])
-                         if prepped else None)
+            prepped_next = prep_fut.result() if prep_fut else None
+            futs_next = (prepped_next[0].dispatch_find(prepped_next[1])
+                         if prepped_next else None)
+            prep_fut = (ex.submit(prep_round, prepped_next[2])
+                        if prepped_next and prepped_next[2] < n_reads
+                        else None)
             matches += len(ov.collect_find(queries, futs))
             rounds += 1
-            futs = futs_next
+            prepped, futs = prepped_next, futs_next
+        ex.shutdown(wait=False)
         return matches, rounds
 
     run_job()                        # warmup compiles

@@ -94,25 +94,45 @@ class OverlapCommand(Command):
 
         prepped = prep_round(first_sequence)
         futs = prepped[1].dispatch_find(prepped[2]) if prepped else None
+        # SPECULATIVELY prep the next round on a WORKER THREAD while this
+        # round's find is in flight AND while its results are collected/
+        # processed (the native seed walks release the GIL); the prepped
+        # round is then dispatched two-deep so its index upload rides the
+        # link alongside the current round's result fetch.  The prep
+        # depends on the read set's ignore flags, which a round's final
+        # check may still change (full-coverage ignores, ref
+        # commands/overlap.go:205,221-223) — the flag count is
+        # snapshotted at submit time and the prep redone sequentially if
+        # it moved, so output stays identical to the unpipelined driver
+        # (ignores only ever flip to True, so an unchanged count means
+        # the speculative prep saw clean state).
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(max_workers=1)
+
+        def submit_prep(first):
+            return (sum(seq_set.ignore), first,
+                    ex.submit(prep_round, first))
+
+        next_sub = submit_prep(prepped[3]) if prepped else None
         while prepped is not None:
             index, overlapper, queries, next_first = prepped
             num_query_seqs = max(q.id for q in queries) + 1
             print(f"Using query set with {num_query_seqs} sequences "
                   f"starting from {next_first} against "
                   f"{seq_set.size} sequences.", file=sys.stderr)
-            # SPECULATIVELY prep AND dispatch the next round while this
-            # round's find is in flight (two rounds deep: the next
-            # round's index upload rides the link while this round's
-            # results come back).  The prep depends on the read set's
-            # ignore flags, which this round's final check may still
-            # change (full-coverage ignores, ref
-            # commands/overlap.go:205,221-223) — snapshot the flags and
-            # redo prep+dispatch below if they moved, so output stays
-            # identical to the unpipelined driver.
-            ignores_before = sum(seq_set.ignore)
-            prepped_next = prep_round(next_first)
+            # two-deep: dispatch round r+1 (its prep ran on the worker
+            # during round r-1's collect/process) before collecting r,
+            # so its index upload rides the link alongside r's fetch;
+            # then queue round r+2's prep under r's collect
+            if next_sub is not None:
+                snap, sub_first, prep_fut = next_sub
+                prepped_next = prep_fut.result()
+            else:
+                snap, sub_first, prepped_next = 0, 0, None
             futs_next = (prepped_next[1].dispatch_find(prepped_next[2])
                          if prepped_next else None)
+            next_sub = (submit_prep(prepped_next[3])
+                        if prepped_next else None)
             matches = overlapper.collect_find(queries, futs)
             query_results = [[] for _ in range(num_query_seqs)]
             hits = 0
@@ -133,13 +153,18 @@ class OverlapCommand(Command):
                                    {"first_sequence": first_sequence,
                                     "round": round_no})
             if (prepped_next is not None
-                    and sum(seq_set.ignore) != ignores_before):
-                # this round ignored reads: the speculative prep saw
-                # stale flags — discard and redo it
-                prepped_next = prep_round(first_sequence)
-                futs_next = (prepped_next[1].dispatch_find(prepped_next[2])
-                             if prepped_next else None)
+                    and sum(seq_set.ignore) != snap):
+                # a round ignored reads since the speculative prep was
+                # submitted: it saw stale flags — discard and redo it
+                # (and requeue the following prep, whose start sequence
+                # may have moved with the redone query set)
+                prepped_next = prep_round(sub_first)
+                futs_next = (prepped_next[1].dispatch_find(
+                    prepped_next[2]) if prepped_next else None)
+                next_sub = (submit_prep(prepped_next[3])
+                            if prepped_next else None)
             prepped, futs = prepped_next, futs_next
+        ex.shutdown(wait=False)
 
     def _final_check(self, results, index, seq_set, overlap_size):
         """PAF emission + full-coverage ignore
