@@ -593,8 +593,17 @@ class MapEngine:
         if index._seed_counts is None:
             index.index_sequences()
         self.usable = np.asarray(index._seed_counts) < max(1, C)
-        # resident mask for on-device bucket derivation (_derive_buckets)
-        self.usable_dev = self._put(self.usable.astype(np.int8))
+        # resident mask for on-device bucket derivation (_derive_buckets).
+        # Padded to a STABLE length (H, or a 4096 grid when hashed): the
+        # raw [num_seeds] shape varies by a few entries between overlap
+        # rounds, and every fused kernel that closes over it recompiled
+        # per round (multi-minute compiles on the TPU backend).  Padding
+        # ids never occur in q_seeds, so the extra zeros are inert.
+        UL = (self.H if S <= self.H
+              else ((S + 4095) // 4096) * 4096)
+        up = np.zeros(UL, np.int8)
+        up[:S] = self.usable
+        self.usable_dev = self._put(up)
         self._hashed = self.num_seeds > self.H
 
     # -- batch-vectorized window packing --------------------------------
@@ -946,8 +955,11 @@ class MapEngine:
         # chain_len steps — size both to the batch's real max seed count
         # (bucketed to limit compile variants) instead of the engine cap
         max_ns = max((len(q.seeds) for q in seed_queries), default=1)
+        # 64-grid (not 32): overlap rounds drift across the 64/96
+        # boundary round-to-round, and each width is a fresh multi-minute
+        # compile of the fused kernel on the TPU backend
         nq_eff = min(self.nq,
-                     max(32, ((min(max_ns, self.nq) + 31) // 32) * 32))
+                     max(32, ((min(max_ns, self.nq) + 63) // 64) * 64))
         # when every query's seeds fit the width, buckets are derived on
         # device — skip building them on host entirely
         derive = not self.seed_sharded and max_ns <= nq_eff
