@@ -563,6 +563,10 @@ def _bucket(n: int) -> int:
         # batch (one extra compile variant buys a ~10x cheaper dispatch)
         if n <= 256:
             return 256
+        # middle bucket: overlap rounds dispatch ~700 queries — padding
+        # those to 2048 rows tripled the fused kernel's row axis
+        if n <= 1024:
+            return 1024
         return 2048 if n <= 2048 else ((n + 2047) // 2048) * 2048
     b = 8
     while b < n:

@@ -1045,7 +1045,16 @@ class MapEngine:
                                       chunk=1024, chain_len=chain_len,
                                       small=small)
 
-        futs = (M, call(pair_budget), pair_budget, call, chain_len)
+        fut = call(pair_budget)
+        # start the (count, max-length) scalars streaming home NOW: by
+        # collect_chains time they are local and the two-phase fetch
+        # costs one link round trip instead of two
+        try:
+            fut[2].copy_to_host_async()
+            fut[3].copy_to_host_async()
+        except Exception:
+            pass
+        futs = (M, fut, pair_budget, call, chain_len)
         return futs if _defer else self.collect_chains(futs)
 
     def dispatch_chains(self, seed_queries: List, base_min: np.ndarray,
@@ -1077,7 +1086,7 @@ class MapEngine:
             pair_budget *= 4
             head_d, chains_d, n_d, mx_d = call(pair_budget)
             n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
-        B = min(head_d.shape[0], max(2048, -(-n // 2048) * 2048))
+        B = min(head_d.shape[0], max(1024, -(-n // 1024) * 1024))
         Lb = min(chain_len, max(32, -(-mx // 32) * 32))
         head, cq, ct = jax.device_get(
             _slice_chains(head_d, chains_d, B, Lb, chain_len))
