@@ -485,6 +485,13 @@ class MapEngine:
     (and, with ``variant='aligner'`` semantics handled by callers, any
     chunk-index consumer)."""
 
+    # (pair_budget, chain_len) -> (rows, length) sliced-chain-fetch sizes
+    # observed at the last collect, with growth headroom — engines are
+    # rebuilt every overlap round, so the hint lives on the class.  Used
+    # to START the sliced fetch at dispatch time (speculative prefetch);
+    # a wrong guess just falls back to the two-phase fetch.
+    _chain_hint: dict = {}
+
     def __init__(self, index, k: int, nq: int = 64, nt: int = 320,
                  mesh=None, hit_fraction: float = 0.25,
                  lean: bool = False):
@@ -1054,7 +1061,26 @@ class MapEngine:
             fut[3].copy_to_host_async()
         except Exception:
             pass
-        futs = (M, fut, pair_budget, call, chain_len)
+        # speculative sliced prefetch: slice head/chains to the sizes the
+        # LAST round needed (plus headroom, recorded by collect_chains)
+        # and start them streaming home now — the transfer rides the link
+        # while the host preps the next round, so the collect's dominant
+        # fetch (~0.2-0.3 s/round on the tunnelled link) is already local.
+        # Rounds grow smoothly, so the hint rarely misses; a miss falls
+        # back to the exact two-phase fetch below.
+        pre = pre_bl = None
+        hint = MapEngine._chain_hint.get((pair_budget, chain_len))
+        if hint is not None:
+            hB = min(fut[0].shape[0], hint[0])
+            hL = min(chain_len, hint[1])
+            pre = _slice_chains(fut[0], fut[1], hB, hL, chain_len)
+            pre_bl = (hB, hL)
+            try:
+                for a in pre:
+                    a.copy_to_host_async()
+            except Exception:
+                pre = pre_bl = None
+        futs = (M, fut, pair_budget, call, chain_len, pre, pre_bl)
         return futs if _defer else self.collect_chains(futs)
 
     def dispatch_chains(self, seed_queries: List, base_min: np.ndarray,
@@ -1079,17 +1105,30 @@ class MapEngine:
         overlap round fetches ~1 MB instead of ~6.5 MB."""
         if isinstance(futs, list):       # empty-input fast path
             return futs
-        M, fut, pair_budget, call, chain_len = futs
+        M, fut, pair_budget, call, chain_len = futs[:5]
+        pre = futs[5] if len(futs) > 5 else None
+        pre_bl = futs[6] if len(futs) > 6 else None
+        hint_key = (pair_budget, chain_len)
         head_d, chains_d, n_d, mx_d = fut
         n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
         while n > pair_budget:
             pair_budget *= 4
             head_d, chains_d, n_d, mx_d = call(pair_budget)
             n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
+            pre = None               # prefetched rows came from the
+            # overflowed dispatch — its chains are truncated, refetch
         B = min(head_d.shape[0], max(1024, -(-n // 1024) * 1024))
         Lb = min(chain_len, max(32, -(-mx // 32) * 32))
-        head, cq, ct = jax.device_get(
-            _slice_chains(head_d, chains_d, B, Lb, chain_len))
+        # record next round's prefetch sizes: 1.5x row / 1.25x length
+        # headroom over what this round actually needed
+        MapEngine._chain_hint[hint_key] = (
+            min(head_d.shape[0], -(-(n + n // 2) // 1024) * 1024),
+            min(chain_len, max(32, -(-(mx + mx // 4) // 32) * 32)))
+        if pre is not None and pre_bl[0] >= B and pre_bl[1] >= Lb:
+            head, cq, ct = jax.device_get(pre)
+        else:
+            head, cq, ct = jax.device_get(
+                _slice_chains(head_d, chains_d, B, Lb, chain_len))
         out = [[] for _ in range(M)]
         live = np.flatnonzero((head[:, 0] >= 0) & (head[:, 0] < M)
                               & (head[:, 2] > 0))
