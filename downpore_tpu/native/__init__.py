@@ -65,6 +65,11 @@ def load() -> Optional[ctypes.CDLL]:
         L.index_fastq.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                   i64p, i64p, i64p, i64p, i64p]
         L.index_fastq.restype = ctypes.c_int64
+        L.write_segments_batch.argtypes = [u8p, i64p, i64p,
+                                           ctypes.c_int64, ctypes.c_int32,
+                                           u8p, i32p, i32p, i64p, i64p,
+                                           ctypes.c_int32]
+        L.write_segments_batch.restype = ctypes.c_int64
         L.pack_windows.argtypes = [
             u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p,
@@ -145,6 +150,41 @@ def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
     g[:cnt] = gaps[:cnt]
     g[cnt] = gaps[cnt]
     return g, kmers[:cnt].copy()
+
+
+def write_segments_batch(codes: np.ndarray, off: np.ndarray,
+                         lens: np.ndarray, k: int, table: np.ndarray):
+    """Batched ``write_segments`` over B sequences packed back-to-back in
+    ``codes`` (sequence i at ``off[i]``, ``lens[i]`` bases); one native
+    call + thread fan-out instead of a Python/ctypes round trip per read.
+    Returns ``(gaps_flat, kmers_flat, gout_off, counts)`` where sequence
+    i's gaps are ``gaps_flat[gout_off[i] : gout_off[i] + counts[i] + 1]``
+    and its seed k-mers ``kmers_flat[gout_off[i] : gout_off[i] +
+    counts[i]]``, or None without the toolchain."""
+    L = load()
+    if L is None or not hasattr(L, "write_segments_batch"):
+        return None
+    B = len(lens)
+    if B == 0:
+        z32, z64 = np.empty(0, np.int32), np.empty(0, np.int64)
+        return z32, z32, z64, z64
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    off = np.ascontiguousarray(off, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    tbl = np.ascontiguousarray(table, dtype=np.uint8)
+    # per-row output region: lens[i] + 1 entries (gaps hold count+1)
+    gout_off = np.empty(B, np.int64)
+    np.cumsum(lens[:-1] + 1, out=gout_off[1:])
+    gout_off[0] = 0
+    total = int(gout_off[-1] + lens[-1] + 1) if B else 0
+    gaps = np.empty(max(1, total), np.int32)
+    kmers = np.empty(max(1, total), np.int32)
+    counts = np.empty(max(1, B), np.int64)
+    nt = min(os.cpu_count() or 1, 16)
+    L.write_segments_batch(_ptr(codes), _ptr(off), _ptr(lens), B, k,
+                           _ptr(tbl), _ptr(gaps), _ptr(kmers),
+                           _ptr(gout_off), _ptr(counts), nt)
+    return gaps, kmers, gout_off, counts
 
 
 def pack_windows(codes: np.ndarray, off: np.ndarray, lens: np.ndarray,

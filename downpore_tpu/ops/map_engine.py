@@ -1118,12 +1118,15 @@ class MapEngine:
             pre = None               # prefetched rows came from the
             # overflowed dispatch — its chains are truncated, refetch
         B = min(head_d.shape[0], max(1024, -(-n // 1024) * 1024))
-        Lb = min(chain_len, max(32, -(-mx // 32) * 32))
-        # record next round's prefetch sizes: 1.5x row / 1.25x length
-        # headroom over what this round actually needed
+        Lb = min(chain_len, max(16, -(-mx // 16) * 16))
+        # record next round's prefetch sizes with tight headroom (rows
+        # +12.5%, length +25%): round-to-round row counts drift ~2% and
+        # chain lengths ~15%, and every spare row/lane is wasted link
+        # bytes on the prefetch (the round critical path).  A miss just
+        # falls back to the exact fetch.
         MapEngine._chain_hint[hint_key] = (
-            min(head_d.shape[0], -(-(n + n // 2) // 1024) * 1024),
-            min(chain_len, max(32, -(-(mx + mx // 4) // 32) * 32)))
+            min(head_d.shape[0], -(-(n + n // 8) // 1024) * 1024),
+            min(chain_len, max(16, -(-(mx + mx // 4) // 16) * 16)))
         if pre is not None and pre_bl[0] >= B and pre_bl[1] >= Lb:
             head, cq, ct = jax.device_get(pre)
         else:

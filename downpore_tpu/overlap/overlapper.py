@@ -116,8 +116,8 @@ class Overlapper:
                                           num_seeds, kmer_values)
         queries: List[SeedQuery] = []
         k = self.index.k
-        for qid, s in enumerate(cached):
-            ss = self.index.new_seed_sequence(s)
+        for qid, ss in enumerate(
+                self.index.new_seed_sequences_batch(cached)):
             queries.append(SeedQuery(qid, ss.id, ss, True, False))
             queries.append(SeedQuery(qid, ss.id,
                                      ss.reverse_complement(k, self.index),
@@ -129,10 +129,7 @@ class Overlapper:
         """Chop every read into ~chunk_size / 100-seed chunks with
         overlap/2 step-back and index them
         (ref: overlap/overlap.go:217-318)."""
-        for s in seqs:
-            if s is None:
-                continue
-            ss = self.index.new_seed_sequence(s)
+        for ss in self.index.new_seed_sequences_batch(seqs):
             self._chunk_and_add(ss)
         self.index.index_sequences()
 

@@ -67,6 +67,45 @@ class SeedIndex:
                             length=len(seq), offset=seq.offset,
                             inset=seq.inset)
 
+    def new_seed_sequences_batch(self, seqs) -> List[SeedSequence]:
+        """``new_seed_sequence`` over many reads with ONE native call per
+        ~2048-read block (thread fan-out inside): the per-read
+        Python/ctypes round trip dominated overlap round prep.  Exact
+        same output as the per-read path (the native kernel is the same
+        ``write_segments`` applied per row)."""
+        seqs = [s for s in seqs if s is not None]
+        from .. import native
+        if self.k > 15 or native.load() is None:
+            return [self.new_seed_sequence(s) for s in seqs]
+        out: List[SeedSequence] = []
+        tbl = self.kmer_table.view(np.uint8)
+        BLOCK = 2048           # bounds the concat staging buffer
+        for lo in range(0, len(seqs), BLOCK):
+            blk = seqs[lo : lo + BLOCK]
+            lens = np.fromiter((len(s) for s in blk), np.int64,
+                               count=len(blk))
+            off = np.empty(len(blk), np.int64)
+            off[0] = 0
+            np.cumsum(lens[:-1], out=off[1:])
+            codes = np.empty(int(off[-1] + lens[-1]), np.uint8)
+            for s, o, L in zip(blk, off, lens):
+                codes[int(o) : int(o) + int(L)] = s.codes
+            res = native.write_segments_batch(codes, off, lens, self.k,
+                                              tbl)
+            if res is None:
+                out.extend(self.new_seed_sequence(s) for s in blk)
+                continue
+            gaps_f, kmers_f, gout, counts = res
+            for i, s in enumerate(blk):
+                c = int(counts[i])
+                o = int(gout[i])
+                out.append(SeedSequence(
+                    gaps_f[o : o + c + 1].copy(),
+                    self.kmer_map[kmers_f[o : o + c]],
+                    id=s.id, name=s.get_name(), length=len(s),
+                    offset=s.offset, inset=s.inset))
+        return out
+
     def new_all_seed_sequence(self, seq: Sequence) -> SeedSequence:
         """Every k-mer of the sequence becomes a seed (adapters; no RC twins
         are added) (ref: seeds/seeds.go:204-237)."""

@@ -88,6 +88,19 @@ int64_t write_segments(const uint8_t* codes, int64_t n, int32_t k,
     return count;
 }
 
+// Batched write_segments over B sequences stored back-to-back in one
+// codes buffer: sequence i occupies codes[off[i] .. off[i]+lens[i]) and
+// writes its (gaps, kmers) into gaps/kmers at gout_off[i] (gaps need
+// capacity lens[i]+1 there; the caller sizes gout_off accordingly).
+// counts[i] receives the seed count.  One ctypes call + thread fan-out
+// instead of a Python call per read — the per-call overhead dominated
+// overlap round prep (declaration below, definition after <thread>).
+int64_t write_segments_batch(const uint8_t* codes, const int64_t* off,
+                             const int64_t* lens, int64_t B, int32_t k,
+                             const uint8_t* table, int32_t* gaps,
+                             int32_t* kmers, const int64_t* gout_off,
+                             int64_t* counts, int32_t n_threads);
+
 // index single-line fastq records in a memory buffer: for each record,
 // emit (seq_offset, seq_len, name_offset, name_len, qual_offset).
 // Returns the number of records found, or -1 on malformed input.
@@ -269,6 +282,31 @@ extern "C" void pack_windows(const uint8_t* codes, const int64_t* off,
         });
     }
     for (auto& th : ts) th.join();
+}
+
+extern "C" int64_t write_segments_batch(
+    const uint8_t* codes, const int64_t* off, const int64_t* lens,
+    int64_t B, int32_t k, const uint8_t* table, int32_t* gaps,
+    int32_t* kmers, const int64_t* gout_off, int64_t* counts,
+    int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > B) n_threads = B > 0 ? (int32_t)B : 1;
+    std::vector<std::thread> ts;
+    const int64_t step = (B + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; t++) {
+        const int64_t lo = t * step;
+        const int64_t hi = lo + step < B ? lo + step : B;
+        if (lo >= hi) break;
+        ts.emplace_back([=]() {
+            for (int64_t i = lo; i < hi; i++) {
+                counts[i] = write_segments(codes + off[i], lens[i], k,
+                                           table, gaps + gout_off[i],
+                                           kmers + gout_off[i]);
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    return 0;
 }
 
 // Windowed top-N seed selection walk (AddSeeds, ref: seeds/seeds.go:62-156,

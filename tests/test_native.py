@@ -154,3 +154,31 @@ def test_native_walk_candidates_matches_python():
     nat = run(False)
     py = run(True)
     assert nat == py
+
+
+def test_new_seed_sequences_batch_matches_per_read():
+    """Batched native gapped-seed extraction == the per-read path,
+    including sub-k reads and reads with no seeds."""
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.seeds import SeedIndex
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    k = 8
+    index = SeedIndex(k)
+    # register a few hundred random seeds
+    for km in rng.integers(0, 4 ** k, 400):
+        index._add_seed_kmer(int(km))
+    seqs = []
+    for i in range(37):
+        L = int(rng.integers(3, 4000))  # includes < k lengths
+        s = bases[rng.integers(0, 4, L)].tobytes().decode()
+        seqs.append(Sequence.from_string(s, id=i, name=f"b{i}"))
+    batch = index.new_seed_sequences_batch(seqs)
+    singles = [index.new_seed_sequence(s) for s in seqs]
+    assert len(batch) == len(singles)
+    for b, s in zip(batch, singles):
+        assert np.array_equal(b.gaps, s.gaps)
+        assert np.array_equal(b.seeds, s.seeds)
+        assert (b.id, b.name, b.length, b.offset, b.inset) == \
+            (s.id, s.name, s.length, s.offset, s.inset)
