@@ -38,6 +38,33 @@ from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
     unpack_summary, _bucket, compact_indices
 
 
+def _stream_home(fut):
+    """Start a fused-map result streaming host-ward at dispatch time.
+    With the combined single-tensor output this is ONE bulk async copy
+    (+ the n_ok scalar) per batch — it rides the link while later
+    batches pack/compute, emptying the collect-time fetch.  (The
+    earlier per-leaf variant with THREE leaves measured slower: each
+    copy pays its own link round trip.)"""
+    if len(fut) == 2:
+        try:
+            fut[0].copy_to_host_async()
+            fut[1].copy_to_host_async()
+        except Exception:
+            pass
+    return fut
+
+
+def _split_result(vals):
+    """(head int32 [B,3], packed int16, n_ok int) from either the
+    combined single-tensor result or the legacy 3-tuple."""
+    if len(vals) == 2:
+        comb, n_ok = vals
+        return (np.asarray(comb[:, :3], np.int32), comb[:, 3:],
+                int(n_ok))
+    head, packed, n_ok = vals
+    return head, packed, int(n_ok)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "Lb", "L"))
 def _slice_chains(head, chains, B: int, Lb: int, L: int):
     """Live-rows x real-length view of an overlap dispatch result (rows
@@ -252,12 +279,13 @@ def _fused_map(q_seeds, q_pos, q_rb, q_db, min_count, base_min, q_len,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
-                                              "chunk", "small", "lean"))
+                                              "chunk", "small", "lean",
+                                              "combine"))
 def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
                      q_len, t_seeds, t_pos,
                      k: int, pair_budget: int, top_k: int = 4,
                      chunk: int = 1024, small: bool = False,
-                     lean: bool = False):
+                     lean: bool = False, combine: bool = False):
     """Gate + chain + summary from precomputed retrieval counts (the
     entry point for the seed-sharded retrieval path)."""
     M = q_seeds.shape[0]
@@ -302,16 +330,24 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     # summaries fit int16 for <=10 kb chunks (positions/coverage <= 11k;
     # empty-row sentinels clamp) - halves the dominant fetch
     packed16 = jnp.clip(packed, -32768, 32767).astype(jnp.int16)
+    if combine:
+        # ONE [budget, 3 + W] int16 output (head columns fit int16 when
+        # the caller sets combine: M, C < 32768 and dc <= nq): a single
+        # tensor lets the dispatcher start ONE copy_to_host_async per
+        # batch, so the fetch streams under later packs/kernels instead
+        # of serializing at collect time
+        head16 = jnp.clip(head, -32768, 32767).astype(jnp.int16)
+        return jnp.concatenate([head16, packed16], axis=1), n_ok
     return head, packed16, n_ok
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
                                               "chunk", "small", "nq",
-                                              "lean"))
+                                              "lean", "combine"))
 def _fused_map_c(a_c, q_seeds, membership, t_seeds, t_pos,
                  k: int, pair_budget: int, top_k: int = 4,
                  chunk: int = 1024, small: bool = False, nq: int = 64,
-                 lean: bool = False):
+                 lean: bool = False, combine: bool = False):
     """``_fused_map`` with the per-query feature arrays concatenated into
     ONE host->device transfer: ``a_c [M, 3*nq + 3]`` carries q_pos | q_rb
     | q_db | (min_count, base_min, q_len), int16 when every field fits
@@ -331,16 +367,17 @@ def _fused_map_c(a_c, q_seeds, membership, t_seeds, t_pos,
                             q_pos, min_count, base_min, q_len,
                             t_seeds, t_pos, k=k, pair_budget=pair_budget,
                             top_k=top_k, chunk=chunk, small=small,
-                            lean=lean)
+                            lean=lean, combine=combine)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "top_k",
                                               "chunk", "small", "nq",
-                                              "hashed", "lean"))
+                                              "hashed", "lean", "combine"))
 def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
                  k: int, pair_budget: int, top_k: int = 4,
                  chunk: int = 1024, small: bool = False, nq: int = 64,
-                 hashed: bool = False, lean: bool = False):
+                 hashed: bool = False, lean: bool = False,
+                 combine: bool = False):
     """``_fused_map_c`` with the run/distinct bucket arrays DERIVED on
     device from the seed ids (``_derive_buckets``) instead of shipped:
     ``a_c [M, nq + 3]`` carries only q_pos | (min_count, base_min,
@@ -356,7 +393,8 @@ def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
     return _map_from_counts(counts, dcounts, qs, q_pos, min_count,
                             base_min, q_len, t_seeds, t_pos, k=k,
                             pair_budget=pair_budget, top_k=top_k,
-                            chunk=chunk, small=small, lean=lean)
+                            chunk=chunk, small=small, lean=lean,
+                            combine=combine)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
@@ -910,15 +948,18 @@ class MapEngine:
                 a_dev = self._put_data(a_c)
                 s_dev = self._put_data(s_c)
 
+            combine = MB < 32768 and self.C < 32768
+
             def call(budget):
                 return _fused_map_d(a_dev, s_dev, self.usable_dev,
                                     self.membership, self.t_seeds,
                                     self.t_pos, k=self.k,
                                     pair_budget=budget, top_k=top_k,
                                     small=small, nq=nq,
-                                    hashed=self._hashed, lean=self.lean)
+                                    hashed=self._hashed, lean=self.lean,
+                                    combine=combine)
 
-            return (M, call(pair_budget), pair_budget, call)
+            return (M, _stream_home(call(pair_budget)), pair_budget, call)
 
         # one combined feature transfer (q_pos | q_rb | q_db | scalars)
         # plus the seed-id array: two device_puts instead of seven
@@ -936,13 +977,16 @@ class MapEngine:
         a_dev = self._put_data(a_c)
         s_dev = self._put_data(padm(q_seeds.astype(sdt), -1))
 
+        combine = MB < 32768 and self.C < 32768
+
         def call(budget):
             return _fused_map_c(a_dev, s_dev, self.membership,
                                 self.t_seeds, self.t_pos, k=self.k,
                                 pair_budget=budget, top_k=top_k,
-                                small=small, nq=nq, lean=self.lean)
+                                small=small, nq=nq, lean=self.lean,
+                                combine=combine)
 
-        return (M, call(pair_budget), pair_budget, call)
+        return (M, _stream_home(call(pair_budget)), pair_budget, call)
 
     def query_chains(self, seed_queries: List, base_min: np.ndarray,
                      pair_budget: int = 0, chain_len: int = 128,
@@ -1166,13 +1210,12 @@ class MapEngine:
             if fut is None:
                 out.append(None)
                 continue
-            head, packed, n_ok = fetch[fi]
+            head, packed, n_ok = _split_result(fetch[fi])
             fi += 1
-            n_ok = int(n_ok)
             while n_ok > pair_budget:
                 pair_budget *= 4
-                head, packed, n_ok = jax.device_get(call(pair_budget))
-                n_ok = int(n_ok)
+                head, packed, n_ok = _split_result(
+                    jax.device_get(call(pair_budget)))
             live = head[:, 0] >= 0
             out.append((head[live], packed[live].astype(np.int32)))
         return out
@@ -1183,14 +1226,13 @@ class MapEngine:
             return []
         # one transfer for head+summary+count (separate fetches each pay
         # a link round trip)
-        head, packed, n_ok = jax.device_get(fut)
-        n_ok = int(n_ok)
+        head, packed, n_ok = _split_result(jax.device_get(fut))
         while n_ok > pair_budget:
             # budget overflow: escalate 4x (compile once per size, then
             # cached; overflows are rare at production budgets)
             pair_budget *= 4
-            head, packed, n_ok = jax.device_get(call(pair_budget))
-            n_ok = int(n_ok)
+            head, packed, n_ok = _split_result(
+                jax.device_get(call(pair_budget)))
         live = head[:, 0] >= 0
         head = head[live]
         summaries = unpack_summary(packed[live].astype(np.int32), top_k,
