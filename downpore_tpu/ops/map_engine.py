@@ -38,6 +38,29 @@ from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
     unpack_summary, _bucket, compact_indices
 
 
+_async_copy_warned = False
+
+
+def _async_copy(*arrays):
+    """Best-effort copy_to_host_async over device arrays.  A failing
+    async-copy path silently degrades to the (slower) blocking fetch, so
+    the first failure is reported once — otherwise the perf regression
+    is undiagnosable."""
+    global _async_copy_warned
+    try:
+        for a in arrays:
+            a.copy_to_host_async()
+        return True
+    except Exception as e:
+        if not _async_copy_warned:
+            _async_copy_warned = True
+            import warnings
+            warnings.warn(
+                f"copy_to_host_async unavailable ({type(e).__name__}: {e});"
+                " falling back to blocking fetches", RuntimeWarning)
+        return False
+
+
 def _stream_home(fut):
     """Start a fused-map result streaming host-ward at dispatch time.
     With the combined single-tensor output this is ONE bulk async copy
@@ -46,11 +69,7 @@ def _stream_home(fut):
     earlier per-leaf variant with THREE leaves measured slower: each
     copy pays its own link round trip.)"""
     if len(fut) == 2:
-        try:
-            fut[0].copy_to_host_async()
-            fut[1].copy_to_host_async()
-        except Exception:
-            pass
+        _async_copy(fut[0], fut[1])
     return fut
 
 
@@ -523,11 +542,15 @@ class MapEngine:
     (and, with ``variant='aligner'`` semantics handled by callers, any
     chunk-index consumer)."""
 
-    # (pair_budget, chain_len) -> (rows, length) sliced-chain-fetch sizes
-    # observed at the last collect, with growth headroom — engines are
-    # rebuilt every overlap round, so the hint lives on the class.  Used
-    # to START the sliced fetch at dispatch time (speculative prefetch);
-    # a wrong guess just falls back to the two-phase fetch.
+    # hint key -> (rows, length) sliced-chain-fetch sizes observed at the
+    # last collect, with growth headroom — engines are rebuilt every
+    # overlap round, so the hint lives on the class.  The key includes
+    # k / hash size / a chunk-count bucket so a hint can't leak across
+    # unrelated indexes sharing a (budget, chain_len) shape (a stale
+    # leak is perf-only — wrong-size speculative fetches — but wasted
+    # link bytes sit on the critical path).  Used to START the sliced
+    # fetch at dispatch time (speculative prefetch); a wrong guess just
+    # falls back to the two-phase fetch.
     _chain_hint: dict = {}
 
     def __init__(self, index, k: int, nq: int = 64, nt: int = 320,
@@ -650,6 +673,13 @@ class MapEngine:
         up[:S] = self.usable
         self.usable_dev = self._put(up)
         self._hashed = self.num_seeds > self.H
+
+    def _hint_key(self, pair_budget: int, chain_len: int):
+        """Prefetch-hint key: identifies the index family (k, hash size,
+        chunk-count bucket) as well as the dispatch shape, so hints from
+        an unrelated dataset with the same budget can't leak in."""
+        return (self.k, self.H, (self.C + 1023) // 1024, pair_budget,
+                chain_len)
 
     # -- batch-vectorized window packing --------------------------------
     _NQS = 192  # seed-scan width: run-collapse is exact for windows with
@@ -1100,11 +1130,7 @@ class MapEngine:
         # start the (count, max-length) scalars streaming home NOW: by
         # collect_chains time they are local and the two-phase fetch
         # costs one link round trip instead of two
-        try:
-            fut[2].copy_to_host_async()
-            fut[3].copy_to_host_async()
-        except Exception:
-            pass
+        _async_copy(fut[2], fut[3])
         # speculative sliced prefetch: slice head/chains to the sizes the
         # LAST round needed (plus headroom, recorded by collect_chains)
         # and start them streaming home now — the transfer rides the link
@@ -1113,16 +1139,14 @@ class MapEngine:
         # Rounds grow smoothly, so the hint rarely misses; a miss falls
         # back to the exact two-phase fetch below.
         pre = pre_bl = None
-        hint = MapEngine._chain_hint.get((pair_budget, chain_len))
+        hint = MapEngine._chain_hint.get(
+            self._hint_key(pair_budget, chain_len))
         if hint is not None:
             hB = min(fut[0].shape[0], hint[0])
             hL = min(chain_len, hint[1])
             pre = _slice_chains(fut[0], fut[1], hB, hL, chain_len)
             pre_bl = (hB, hL)
-            try:
-                for a in pre:
-                    a.copy_to_host_async()
-            except Exception:
+            if not _async_copy(*pre):
                 pre = pre_bl = None
         futs = (M, fut, pair_budget, call, chain_len, pre, pre_bl)
         return futs if _defer else self.collect_chains(futs)
@@ -1152,11 +1176,13 @@ class MapEngine:
         M, fut, pair_budget, call, chain_len = futs[:5]
         pre = futs[5] if len(futs) > 5 else None
         pre_bl = futs[6] if len(futs) > 6 else None
-        hint_key = (pair_budget, chain_len)
+        hint_key = self._hint_key(pair_budget, chain_len)
         head_d, chains_d, n_d, mx_d = fut
         n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
+        escalated = False
         while n > pair_budget:
             pair_budget *= 4
+            escalated = True
             head_d, chains_d, n_d, mx_d = call(pair_budget)
             n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
             pre = None               # prefetched rows came from the
@@ -1167,10 +1193,14 @@ class MapEngine:
         # +12.5%, length +25%): round-to-round row counts drift ~2% and
         # chain lengths ~15%, and every spare row/lane is wasted link
         # bytes on the prefetch (the round critical path).  A miss just
-        # falls back to the exact fetch.
-        MapEngine._chain_hint[hint_key] = (
-            min(head_d.shape[0], -(-(n + n // 8) // 1024) * 1024),
-            min(chain_len, max(16, -(-(mx + mx // 4) // 16) * 16)))
+        # falls back to the exact fetch.  After a budget escalation the
+        # row count belongs to the ESCALATED dispatch — recording it
+        # under the original key would make the next round's prefetch
+        # clamp to the full budget and stream the whole arrays, so skip.
+        if not escalated:
+            MapEngine._chain_hint[hint_key] = (
+                min(head_d.shape[0], -(-(n + n // 8) // 1024) * 1024),
+                min(chain_len, max(16, -(-(mx + mx // 4) // 16) * 16)))
         if pre is not None and pre_bl[0] >= B and pre_bl[1] >= Lb:
             head, cq, ct = jax.device_get(pre)
         else:

@@ -79,9 +79,23 @@ class SeedIndex:
             return [self.new_seed_sequence(s) for s in seqs]
         out: List[SeedSequence] = []
         tbl = self.kmer_table.view(np.uint8)
-        BLOCK = 2048           # bounds the concat staging buffer
-        for lo in range(0, len(seqs), BLOCK):
-            blk = seqs[lo : lo + BLOCK]
+        # block boundaries bound the concat staging buffer by BOTH read
+        # count and cumulative bases: gaps+kmers staging costs ~8
+        # bytes/base, so 2048 ultralong (100 kb-1 Mb) reads would
+        # transiently allocate GBs if capped by count alone
+        BLOCK = 2048
+        MAX_BASES = 48 << 20
+        blocks = []
+        cur, cur_bases = [], 0
+        for s in seqs:
+            cur.append(s)
+            cur_bases += len(s)
+            if len(cur) >= BLOCK or cur_bases >= MAX_BASES:
+                blocks.append(cur)
+                cur, cur_bases = [], 0
+        if cur:
+            blocks.append(cur)
+        for blk in blocks:
             lens = np.fromiter((len(s) for s in blk), np.int64,
                                count=len(blk))
             off = np.empty(len(blk), np.int64)
