@@ -366,19 +366,48 @@ def bench_consensus():
     total_bases = sum(len(o) + k - 1 for o in outs if len(o))
     bases_s = total_bases / elapsed
 
-    # host-oracle comparison on a small slice (pure-Python port of the
-    # reference engine); x50 converts to an estimated Go+SIMD speed
+    # Baseline derived from the reference's own hot loop (no published
+    # consensus throughput exists):
+    #   U  = band updates per consensus base, counted by running the
+    #        faithful host oracle on this exact job shape;
+    #   M  = measured native C++ rate of the identical band update on
+    #        this machine (single thread; same data flow as
+    #        updateOffsetsAsm, ref sequence/alignment/asm_amd64.s:17-149);
+    #   anchor = M x 2 (headroom of hand SIMD over compiled C++)
+    #              x 16 (the reference desktop's threads, assumed to
+    #                    scale perfectly — generous to the reference)
+    #              / U.
+    # The full derivation is recorded in BASELINE.md.
     t1 = time.time()
+    n_upd = n_base = 0
     for job in jobs[:2]:
         m = SimpleMeasure(k)
         m.set_sequences(job, [False] * len(job))
-        DTWAligner(16, 5, m, False, 200, k).global_consensus()
+        al = DTWAligner(16, 5, m, False, 200, k)
+        al.global_consensus()
+        n_upd += al.n_band_updates
+        n_base += core_len + k - 1
     host_dt = time.time() - t1
-    host_bases_s = 2 * (core_len + k - 1) / host_dt
-    baseline = host_bases_s * 50
+    host_bases_s = n_base / host_dt
+    upd_per_base = n_upd / max(1, n_base)
+
+    from downpore_tpu import native
+    W = 32                              # the reference's band width
+    nb = 4096
+    rng2 = np.random.default_rng(SEED + 31)
+    ds = rng2.integers(0, 60, (nb, W)).astype(np.uint16)
+    bands = rng2.integers(0, 500, (nb, W)).astype(np.uint16)
+    native.band_update_rounds(ds, bands, 200, 50)      # warm
+    t1 = time.time()
+    reps = 1000
+    chk = native.band_update_rounds(ds, bands, 200, reps)
+    upd_rate = nb * reps / (time.time() - t1) if chk is not None else 30e6
+    baseline = upd_rate * 2 * 16 / upd_per_base
     note(f"consensus elapsed={elapsed:.2f}s jobs={n_jobs} "
-         f"members={n_members} host_oracle={host_bases_s:.0f} bases/s "
-         f"(baseline = host x50)")
+         f"members={n_members} host_oracle={host_bases_s:.0f} bases/s; "
+         f"anchor: {upd_rate / 1e6:.0f}M native band-updates/s x2 x16T "
+         f"/ {upd_per_base:.0f} updates/base = {baseline / 1e6:.2f} "
+         f"Mbases/s")
     emit("consensus_bases_per_s", bases_s, "bases/s", bases_s / baseline)
 
 

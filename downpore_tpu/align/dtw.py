@@ -199,6 +199,10 @@ class DTWAligner:
         self.landmarks: List[_Landmark] = []
         self.expected_positions = None
         self.depth = 0
+        # band-update call counter: the bench suite divides a measured
+        # native band-update rate by (updates / consensus base) from
+        # this counter to derive the consensus baseline anchor
+        self.n_band_updates = 0
 
     # -- helpers -------------------------------------------------------
     def _prepare_distances(self, seq_i: int, kmer: int, pos: int) -> np.ndarray:
@@ -227,6 +231,7 @@ class DTWAligner:
         (ref: alignment.go:357-386)."""
         pos = int(s.positions[j])
         ds = self._prepare_distances(j, s.k, pos)
+        self.n_band_updates += 1
         out, m = update_offsets_np(ds, prev.offsets[j], self.cost_threshold)
         s.offsets[j] = out
         zero = np.flatnonzero(out == 0)

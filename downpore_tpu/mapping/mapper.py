@@ -90,9 +90,12 @@ class Mapper:
         exp_hits = (self.edge_size - self.k + 1) \
             * self.index.num_seeds / (4 ** self.k)
         nq = int(min(192, max(64, -(-2 * exp_hits // 32) * 32)))
+        # binned=True arms two-level genome-bin retrieval; the engine
+        # engages it only once the chunk count makes the flat gather the
+        # bottleneck (>=1024 chunks ~ a >=10 Mb reference)
         self.engine = MapEngine(self.index, self.k, nq=nq, nt=320,
                                 mesh=self.mesh, hit_fraction=0.25,
-                                lean=True)
+                                lean=True, binned=True)
 
     # ------------------------------------------------------------------
     def as_string(self, m: Mapping) -> str:

@@ -89,6 +89,10 @@ def load() -> Optional[ctypes.CDLL]:
                                       ctypes.c_int32, i32p, i32p, i32p,
                                       u8p, ctypes.c_int64]
         L.walk_candidates.restype = ctypes.c_int64
+        L.band_update_rounds.argtypes = [u8p, u8p, ctypes.c_int64,
+                                         ctypes.c_int32, ctypes.c_int32,
+                                         ctypes.c_int32]
+        L.band_update_rounds.restype = ctypes.c_int64
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -326,3 +330,20 @@ def index_fastq(buf: bytes):
     if cnt < 0:
         return None
     return tuple(c[:cnt].copy() for c in cols)
+
+
+def band_update_rounds(ds: np.ndarray, bands: np.ndarray, threshold: int,
+                       reps: int):
+    """Run `reps` feedback passes of the reference DTW band update over
+    ``bands`` (modified in place).  Returns the checksum (sum of band
+    minima) or None when the native library is unavailable.  Used by the
+    bench suite to derive the consensus baseline anchor from a measured
+    host speed-of-light of the reference's hottest loop."""
+    L = load()
+    if L is None:
+        return None
+    assert ds.dtype == np.uint16 and bands.dtype == np.uint16
+    assert ds.shape == bands.shape and bands.flags.c_contiguous
+    n_bands, W = bands.shape
+    return int(L.band_update_rounds(_ptr(ds), _ptr(bands), n_bands, W,
+                                    threshold, reps))

@@ -37,6 +37,11 @@ from . import match as match_ops
 from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
     unpack_summary, _bucket, compact_indices
 
+# binned-retrieval engagement threshold and bin width (module-level so
+# tests can exercise the binned path at toy scale)
+_BINNED_MIN_C = 1024
+_BINNED_CB = 128
+
 
 _async_copy_warned = False
 
@@ -68,20 +73,28 @@ def _stream_home(fut):
     batches pack/compute, emptying the collect-time fetch.  (The
     earlier per-leaf variant with THREE leaves measured slower: each
     copy pays its own link round trip.)"""
-    if len(fut) == 2:
-        _async_copy(fut[0], fut[1])
+    if len(fut) == 2 or (len(fut) == 3 and fut[1].ndim == 0):
+        _async_copy(*fut)
     return fut
 
 
 def _split_result(vals):
-    """(head int32 [B,3], packed int16, n_ok int) from either the
-    combined single-tensor result or the legacy 3-tuple."""
+    """(head int32 [B,3], packed int16, n_ok int, n_bin int|None) from
+    any fused-map result form: combined single tensor, legacy 3-tuple,
+    or either with the binned gate's trailing n_bin scalar."""
     if len(vals) == 2:
         comb, n_ok = vals
         return (np.asarray(comb[:, :3], np.int32), comb[:, 3:],
-                int(n_ok))
-    head, packed, n_ok = vals
-    return head, packed, int(n_ok)
+                int(n_ok), None)
+    if len(vals) == 3 and np.ndim(vals[1]) == 0:   # binned + combined
+        comb, n_ok, n_bin = vals
+        return (np.asarray(comb[:, :3], np.int32), comb[:, 3:],
+                int(n_ok), int(n_bin))
+    if len(vals) == 3:
+        head, packed, n_ok = vals
+        return head, packed, int(n_ok), None
+    head, packed, n_ok, n_bin = vals
+    return head, packed, int(n_ok), int(n_bin)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "Lb", "L"))
@@ -321,6 +334,20 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     cl = jnp.clip(sel, 0, M * C - 1)
     mi = jnp.where(live, cl // C, 0)
     ci = jnp.where(live, cl % C, 0)
+    dc = dcounts[mi, ci]
+    return _chain_pack_tail(mi, ci, dc, live, n_ok, q_seeds, q_pos,
+                            base_min, q_len, t_seeds, t_pos, k=k,
+                            pair_budget=pair_budget, top_k=top_k,
+                            chunk=chunk, small=small, lean=lean,
+                            combine=combine)
+
+
+def _chain_pack_tail(mi, ci, dc, live, n_ok, q_seeds, q_pos, base_min,
+                     q_len, t_seeds, t_pos, *, k: int, pair_budget: int,
+                     top_k: int, chunk: int, small: bool, lean: bool,
+                     combine: bool):
+    """Chain DP + summary packing over compacted (query, chunk) pairs —
+    the shared tail of the flat and binned gates."""
     mm = jnp.where(live, base_min[mi], jnp.int32(1 << 20))
 
     # chain DP on the selected pairs; anchors built in fixed chunks to
@@ -343,7 +370,6 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
                for key, v in anchors.items()}
     out = dp_from_anchors(anchors, k, small=small)
     packed = summarize_dp(out, mm, q_len[mi], k, top_k, lean=lean)
-    dc = dcounts[mi, ci]
     head = jnp.concatenate([
         jnp.where(live, mi, -1)[:, None], ci[:, None], dc[:, None]], axis=1)
     # summaries fit int16 for <=10 kb chunks (positions/coverage <= 11k;
@@ -414,6 +440,222 @@ def _fused_map_d(a_c, q_seeds, usable, membership, t_seeds, t_pos,
                             pair_budget=pair_budget, top_k=top_k,
                             chunk=chunk, small=small, lean=lean,
                             combine=combine)
+
+
+@functools.partial(jax.jit, static_argnames=("NB", "CB"))
+def _derive_bin_mem(membership, NB: int, CB: int):
+    """Resident level-1 bin membership ``[H, NB]``: bin b's row is the OR
+    of its CB chunks' membership columns.  Bins are contiguous ranges of
+    the (genome-position-permuted) chunk axis, so for any chunk c in bin
+    b and any query bucket set, bin counts >= chunk counts — gating bins
+    at the chunk thresholds is recall-sound."""
+    H = membership.shape[0]
+    return (jnp.sum(membership.reshape(H, NB, CB), axis=2) > 0) \
+        .astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("H1", "NB", "CB", "hashed1"))
+def _derive_bin_mem_direct(t_seeds, H1: int, NB: int, CB: int,
+                           hashed1: bool):
+    """Level-1 bin membership in its OWN (larger) hash space, scattered
+    straight from the resident chunk seed tables.
+
+    The level-2 hash space H is capped for membership-matrix memory
+    ([H, C] int8); at genome scale a bin of CB chunks then occupies a
+    large fraction of those H buckets and pure collision noise passes
+    the bin gate everywhere (measured: 64 Mb / 865k seeds / H=2^17 /
+    CB=128 -> ~29% bin occupancy, every query escalating BB).  The bin
+    matrix is only [H1, NB], so H1 can afford the full seed space (or a
+    2^20 cap) — occupancy drops ~8x and the gate regains selectivity.
+    True matches always land in both spaces, so recall is unaffected;
+    only H-collision-noise candidates (which the chain DP rejects) can
+    differ from the flat gate."""
+    CP, nt = t_seeds.shape
+    live = t_seeds >= 0
+    if hashed1:
+        h = ((t_seeds.astype(jnp.uint32) * jnp.uint32(2654435761))
+             & jnp.uint32(H1 - 1)).astype(jnp.int32)
+    else:
+        h = t_seeds
+    rows = jnp.where(live, h, H1)
+    bins = jnp.broadcast_to(
+        (jnp.arange(CP, dtype=jnp.int32) // CB)[:, None], (CP, nt))
+    mem = jnp.zeros((H1 + 1, NB), jnp.int8)
+    mem = mem.at[rows.reshape(-1), bins.reshape(-1)].set(1)
+    return mem[:H1]
+
+
+def _binned_counts_pair(flat, rb, first, topbin, NB: int, CB: int):
+    """Level-2 fine counts within each query's selected bins, from ONE
+    membership gather: ``flat [H*NB, CB]`` (membership reshaped),
+    ``rb [M, R]`` run buckets (pad -1), ``first [M, R]`` first-occurrence
+    mask, ``topbin [M, BB]`` selected bin ids.  Returns (counts,
+    dcounts) ``[M, BB, CB]`` int32.  The gathered ``[M, R, BB, CB]``
+    block is bounded to ~256 MB by chunking the batch axis."""
+    M, R = rb.shape
+    BB = topbin.shape[1]
+
+    def counts2(args):
+        b, fr, tb = args
+        m = b.shape[0]
+        live = b >= 0
+        idx = jnp.clip(b, 0)[:, :, None] * NB + tb[:, None, :]  # [m,R,BB]
+        rows = jnp.take(flat, idx.reshape(m, R * BB),
+                        axis=0).reshape(m, R, BB, CB)
+        rows = jnp.where(live[:, :, None, None], rows, 0)
+        c = jnp.sum(rows, axis=1, dtype=jnp.int32)
+        d = jnp.sum(jnp.where(fr[:, :, None, None], rows, 0), axis=1,
+                    dtype=jnp.int32)
+        return c, d
+
+    if M * R * BB * CB <= (1 << 28):
+        return counts2((rb, first, topbin))
+    mc = max(1, (1 << 28) // max(1, R * BB * CB))
+    mc = max(8, (mc // 8) * 8)
+    MP = ((M + mc - 1) // mc) * mc
+    if MP != M:
+        rb = jnp.concatenate([rb, jnp.full((MP - M, R), -1, rb.dtype)])
+        first = jnp.concatenate([first, jnp.zeros((MP - M, R), bool)])
+        topbin = jnp.concatenate(
+            [topbin, jnp.zeros((MP - M, BB), topbin.dtype)])
+    c, d = jax.lax.map(counts2, (rb.reshape(MP // mc, mc, R),
+                                 first.reshape(MP // mc, mc, R),
+                                 topbin.reshape(MP // mc, mc, BB)))
+    return (c.reshape(MP, BB, CB)[:M], d.reshape(MP, BB, CB)[:M])
+
+
+def _binned_gate(membership, bin_mem, q_rb, q_db, rb1, db1, min_count,
+                 base_min, *, NB: int, CB: int, BB: int, C: int,
+                 pair_budget: int, aligned_db: bool):
+    """Two-level retrieval gate (the genome-scale answer to the dense
+    [H, C] membership walk): level 1 gates genome bins, level 2 counts
+    chunks only inside each query's top-``BB`` passing bins.
+
+    Returns ``(mi, ci, dc, live, n_ok, n_bin)`` — compacted passing
+    (query, chunk) pairs exactly as the flat gate produces, plus
+    ``n_bin`` = the max per-query passing-bin count for BB-escalation
+    (when n_bin > BB the selection may have dropped chunks; the caller
+    re-dispatches with a doubled BB, so results remain exact).
+
+    ``rb1``/``db1`` are the query buckets in the BIN matrix's hash space
+    (H1 — usually wider than the membership's H; identical arrays when
+    the spaces coincide).  ``aligned_db`` states that ``q_db``/``db1``
+    share the run arrays' slot layout (duplicates masked to -1, the
+    `_derive_buckets` form), letting one gather serve both run and
+    distinct sums at both levels."""
+    M = q_rb.shape[0]
+    H = membership.shape[0]
+    if aligned_db:
+        c1, d1 = _count_rows_pair(bin_mem, rb1, db1)
+    else:
+        c1 = _count_rows(bin_mem, rb1)
+        d1 = _count_rows(bin_mem, db1)
+    okb = (c1 >= min_count[:, None]) & (d1 >= base_min[:, None]) \
+        & (min_count[:, None] > 0)
+    n_bin = jnp.max(jnp.sum(okb, axis=1))
+    # top-BB passing bins by run count; top_k indices are distinct so no
+    # chunk is counted twice
+    key = jnp.where(okb, c1, -1)
+    _, topbin = jax.lax.top_k(key, BB)
+    topbin = topbin.astype(jnp.int32)
+    sel_live = jnp.take_along_axis(okb, topbin, axis=1)
+    flat = membership.reshape(H * NB, CB)
+    if aligned_db:
+        c2, d2 = _binned_counts_pair(flat, q_rb, q_db >= 0, topbin,
+                                     NB, CB)
+    else:
+        c2, _ = _binned_counts_pair(flat, q_rb,
+                                    jnp.zeros_like(q_rb, bool),
+                                    topbin, NB, CB)
+        d2, _ = _binned_counts_pair(flat, q_db,
+                                    jnp.zeros_like(q_db, bool), topbin,
+                                    NB, CB)
+    ci_all = topbin[:, :, None] * CB \
+        + jnp.arange(CB, dtype=jnp.int32)[None, None, :]   # [M, BB, CB]
+    okf = (c2 >= min_count[:, None, None]) \
+        & (d2 >= base_min[:, None, None]) \
+        & (min_count[:, None, None] > 0) \
+        & sel_live[:, :, None] & (ci_all < C)
+    sel, n_ok = compact_indices(okf.reshape(-1), pair_budget)
+    SZ = M * BB * CB
+    live = sel < SZ
+    cl = jnp.clip(sel, 0, SZ - 1)
+    mi = jnp.where(live, cl // (BB * CB), 0)
+    rem = cl % (BB * CB)
+    s_idx = rem // CB
+    w = rem % CB
+    ci = jnp.where(live, topbin[mi, s_idx] * CB + w, 0)
+    dc = d2[mi, s_idx, w]
+    return mi, ci, dc, live, n_ok, n_bin
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "pair_budget", "top_k", "chunk", "small", "nq", "hashed",
+    "hashed1", "lean", "combine", "NB", "CB", "BB", "C"))
+def _fused_map_bd(a_c, q_seeds, usable, membership, bin_mem, t_seeds,
+                  t_pos, k: int, pair_budget: int, top_k: int = 4,
+                  chunk: int = 1024, small: bool = False, nq: int = 64,
+                  hashed: bool = False, hashed1: bool = False,
+                  lean: bool = False, combine: bool = False,
+                  NB: int = 64, CB: int = 8, BB: int = 8, C: int = 0):
+    """``_fused_map_d`` with the two-level binned gate.  Returns the
+    usual result tuple plus ``n_bin`` (max passing bins per query) for
+    BB-escalation."""
+    a = a_c.astype(jnp.int32)
+    q_pos = a[:, :nq]
+    min_count = a[:, nq]
+    base_min = a[:, nq + 1]
+    q_len = a[:, nq + 2]
+    qs = q_seeds.astype(jnp.int32)
+    H1 = bin_mem.shape[0]
+    q_rb, q_db = _derive_buckets(qs, usable, membership.shape[0], hashed)
+    if H1 == membership.shape[0] and hashed1 == hashed:
+        rb1, db1 = q_rb, q_db
+    else:
+        rb1, db1 = _derive_buckets(qs, usable, H1, hashed1)
+    mi, ci, dc, live, n_ok, n_bin = _binned_gate(
+        membership, bin_mem, q_rb, q_db, rb1, db1, min_count, base_min,
+        NB=NB, CB=CB, BB=BB, C=C, pair_budget=pair_budget,
+        aligned_db=True)
+    out = _chain_pack_tail(mi, ci, dc, live, n_ok, qs, q_pos, base_min,
+                           q_len, t_seeds, t_pos, k=k,
+                           pair_budget=pair_budget, top_k=top_k,
+                           chunk=chunk, small=small, lean=lean,
+                           combine=combine)
+    return out + (n_bin,)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "pair_budget", "top_k", "chunk", "small", "nq", "lean",
+    "combine", "NB", "CB", "BB", "C"))
+def _fused_map_bc(a_c, q_seeds, membership, bin_mem, t_seeds, t_pos,
+                  k: int, pair_budget: int, top_k: int = 4,
+                  chunk: int = 1024, small: bool = False, nq: int = 64,
+                  lean: bool = False, combine: bool = False,
+                  NB: int = 64, CB: int = 8, BB: int = 8, C: int = 0):
+    """``_fused_map_c`` (shipped run/distinct buckets — the fallback for
+    repeat-heavy batches whose seeds overflow the derive width) with the
+    two-level binned gate.  The shipped buckets live in the membership's
+    hash space, so this path uses the H-space bin matrix (noisier level-1
+    gate than the derive path's H1 matrix, but correct)."""
+    a = a_c.astype(jnp.int32)
+    q_pos = a[:, :nq]
+    q_rb = a[:, nq : 2 * nq]
+    q_db = a[:, 2 * nq : 3 * nq]
+    min_count = a[:, 3 * nq]
+    base_min = a[:, 3 * nq + 1]
+    q_len = a[:, 3 * nq + 2]
+    mi, ci, dc, live, n_ok, n_bin = _binned_gate(
+        membership, bin_mem, q_rb, q_db, q_rb, q_db, min_count,
+        base_min, NB=NB, CB=CB, BB=BB, C=C, pair_budget=pair_budget,
+        aligned_db=False)
+    out = _chain_pack_tail(mi, ci, dc, live, n_ok,
+                           q_seeds.astype(jnp.int32), q_pos, base_min,
+                           q_len, t_seeds, t_pos, k=k,
+                           pair_budget=pair_budget, top_k=top_k,
+                           chunk=chunk, small=small, lean=lean,
+                           combine=combine)
+    return out + (n_bin,)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pair_budget", "variant",
@@ -555,7 +797,7 @@ class MapEngine:
 
     def __init__(self, index, k: int, nq: int = 64, nt: int = 320,
                  mesh=None, hit_fraction: float = 0.25,
-                 lean: bool = False):
+                 lean: bool = False, binned: bool = False):
         self.index = index
         self.k = k
         # lean: pack only the mapper-walk summary columns (1 + 7K instead
@@ -574,6 +816,30 @@ class MapEngine:
         self.seed_sharded = (mesh is not None
                              and "seed" in mesh.axis_names
                              and mesh.shape["seed"] > 1)
+        # two-level binned retrieval (genome scale): chunks permuted into
+        # genome-position order so bins are contiguous ranges of the
+        # engine chunk axis; level 1 gates [H, NB] bin rows, level 2
+        # counts only inside each query's top-BB passing bins.  Worth it
+        # only once the flat [M, R, C] gather dominates; below the
+        # threshold the flat path is already cheap.
+        self._binned = (bool(binned) and C >= _BINNED_MIN_C
+                        and not self.seed_sharded)
+        self._perm = None
+        if self._binned:
+            self._CB = _BINNED_CB   # int8 lane width: a narrower minor
+            # dim would be padded to 128 on device anyway
+            self._NB = (C + self._CB - 1) // self._CB
+            self._BB = min(8, self._NB)
+            CP = self._NB * self._CB
+            # genome-position order (stable: equal offsets keep their
+            # original relative — and therefore reference walk — order)
+            order = np.argsort(
+                np.fromiter((s.offset for s in index.sequences),
+                            np.int64, C), kind="stable").astype(np.int32)
+            self._perm = order            # engine position -> original ci
+            pos_of = np.empty(C, np.int32)
+            pos_of[order] = np.arange(C, dtype=np.int32)
+            self._pos_of = pos_of
         # host membership build is skipped when it will be derived on
         # device from the chunk tables (no chunk truncated to nt)
         derive_mem = (not self.seed_sharded
@@ -589,12 +855,16 @@ class MapEngine:
         self.chunk_inset = np.zeros(max(1, CP), np.int64)
         self.chunk_len = np.zeros(max(1, CP), np.int64)
         for ci_, s in enumerate(index.sequences):
+            # device tables live in engine (permuted) order; the chunk
+            # geometry arrays stay in ORIGINAL order — collectors
+            # translate engine ids back before any host use
+            p = int(self._pos_of[ci_]) if self._binned else ci_
             if mem is not None and s.seeds.size:
                 mem[match_ops.hash_ids(np.unique(s.seeds), S, self.H),
-                    ci_] = 1
+                    p] = 1
             m = min(s.num_seeds, nt)
-            t_seeds[ci_, :m] = s.seeds[:m]
-            t_pos[ci_, :m] = s.seed_positions(k)[:m]
+            t_seeds[p, :m] = s.seeds[:m]
+            t_pos[p, :m] = s.seed_positions(k)[:m]
             self.chunk_nseeds[ci_] = s.num_seeds
             self.chunk_off[ci_] = s.offset
             self.chunk_inset[ci_] = s.inset
@@ -657,6 +927,30 @@ class MapEngine:
             self.membership = _unpack_membership(
                 self._put(packed), mem.shape[1])
             self._sharded_counts = None
+        if self._binned:
+            if derive_mem:
+                # complete chunk tables: scatter the bin matrix straight
+                # from t_seeds into a WIDER hash space H1 (the [H1, NB]
+                # matrix is tiny, so H1 can afford the full seed space
+                # where the [H, C] membership cannot) — keeps the bin
+                # gate selective under heavy H-collision pressure
+                self.H1 = match_ops.choose_hash_size(S, max_h=1 << 20)
+                self._hashed1 = S > self.H1
+                self.bin_mem1 = _derive_bin_mem_direct(
+                    self.t_seeds, self.H1, self._NB, self._CB,
+                    self._hashed1)
+                self.bin_mem2 = (
+                    self.bin_mem1
+                    if self.H1 == self.H and self._hashed1 == hashed
+                    else _derive_bin_mem(self.membership, self._NB,
+                                         self._CB))
+            else:
+                # truncated chunk(s): t_seeds is incomplete, so derive
+                # bins from the exact membership matrix (H space)
+                self.H1 = self.H
+                self._hashed1 = hashed
+                self.bin_mem1 = self.bin_mem2 = _derive_bin_mem(
+                    self.membership, self._NB, self._CB)
         # "usable" per Matches: seeds present in every chunk carry no info
         if index._seed_counts is None:
             index.index_sequences()
@@ -980,14 +1274,25 @@ class MapEngine:
 
             combine = MB < 32768 and self.C < 32768
 
-            def call(budget):
-                return _fused_map_d(a_dev, s_dev, self.usable_dev,
-                                    self.membership, self.t_seeds,
-                                    self.t_pos, k=self.k,
-                                    pair_budget=budget, top_k=top_k,
-                                    small=small, nq=nq,
-                                    hashed=self._hashed, lean=self.lean,
-                                    combine=combine)
+            if self._binned:
+                def call(budget, BB=self._BB):
+                    return _fused_map_bd(
+                        a_dev, s_dev, self.usable_dev, self.membership,
+                        self.bin_mem1, self.t_seeds, self.t_pos,
+                        k=self.k, pair_budget=budget, top_k=top_k,
+                        small=small, nq=nq, hashed=self._hashed,
+                        hashed1=self._hashed1, lean=self.lean,
+                        combine=combine, NB=self._NB, CB=self._CB,
+                        BB=BB, C=self.C)
+            else:
+                def call(budget):
+                    return _fused_map_d(a_dev, s_dev, self.usable_dev,
+                                        self.membership, self.t_seeds,
+                                        self.t_pos, k=self.k,
+                                        pair_budget=budget, top_k=top_k,
+                                        small=small, nq=nq,
+                                        hashed=self._hashed,
+                                        lean=self.lean, combine=combine)
 
             return (M, _stream_home(call(pair_budget)), pair_budget, call)
 
@@ -1009,12 +1314,22 @@ class MapEngine:
 
         combine = MB < 32768 and self.C < 32768
 
-        def call(budget):
-            return _fused_map_c(a_dev, s_dev, self.membership,
-                                self.t_seeds, self.t_pos, k=self.k,
-                                pair_budget=budget, top_k=top_k,
-                                small=small, nq=nq, lean=self.lean,
-                                combine=combine)
+        if self._binned:
+            def call(budget, BB=self._BB):
+                return _fused_map_bc(a_dev, s_dev, self.membership,
+                                     self.bin_mem2, self.t_seeds,
+                                     self.t_pos, k=self.k,
+                                     pair_budget=budget, top_k=top_k,
+                                     small=small, nq=nq, lean=self.lean,
+                                     combine=combine, NB=self._NB,
+                                     CB=self._CB, BB=BB, C=self.C)
+        else:
+            def call(budget):
+                return _fused_map_c(a_dev, s_dev, self.membership,
+                                    self.t_seeds, self.t_pos, k=self.k,
+                                    pair_budget=budget, top_k=top_k,
+                                    small=small, nq=nq, lean=self.lean,
+                                    combine=combine)
 
         return (M, _stream_home(call(pair_budget)), pair_budget, call)
 
@@ -1240,33 +1555,41 @@ class MapEngine:
             if fut is None:
                 out.append(None)
                 continue
-            head, packed, n_ok = _split_result(fetch[fi])
+            head, packed, n_ok, n_bin = _split_result(fetch[fi])
             fi += 1
-            while n_ok > pair_budget:
-                pair_budget *= 4
-                head, packed, n_ok = _split_result(
-                    jax.device_get(call(pair_budget)))
+            BB = self._BB if self._binned else 0
+            # two escalation axes: pair-budget overflow (n_ok) and, on
+            # the binned path, passing-bins-per-query overflow (n_bin) —
+            # either means the dispatch may have dropped pairs, so
+            # re-dispatch bigger until exact (4x / 2x; compiles cache)
+            while n_ok > pair_budget or (n_bin is not None and n_bin > BB):
+                if n_bin is not None and n_bin > BB:
+                    BB = min(self._NB, BB * 2)
+                if n_ok > pair_budget:
+                    pair_budget *= 4
+                args = (pair_budget, BB) if self._binned else (pair_budget,)
+                head, packed, n_ok, n_bin = _split_result(
+                    jax.device_get(call(*args)))
             live = head[:, 0] >= 0
-            out.append((head[live], packed[live].astype(np.int32)))
+            head = head[live]
+            packed = packed[live].astype(np.int32)
+            if self._perm is not None:
+                # translate engine (genome-permuted) chunk ids back to
+                # original ids and restore the reference's query-major /
+                # chunk-ascending candidate-walk order
+                head[:, 1] = self._perm[head[:, 1]]
+                order = np.lexsort((head[:, 1], head[:, 0]))
+                head = head[order]
+                packed = packed[order]
+            out.append((head, packed))
         return out
 
     def collect(self, futs, top_k: int = 4):
-        M, fut, pair_budget, call = futs
-        if fut is None:
+        M = futs[0]
+        if futs[1] is None:
             return []
-        # one transfer for head+summary+count (separate fetches each pay
-        # a link round trip)
-        head, packed, n_ok = _split_result(jax.device_get(fut))
-        while n_ok > pair_budget:
-            # budget overflow: escalate 4x (compile once per size, then
-            # cached; overflows are rare at production budgets)
-            pair_budget *= 4
-            head, packed, n_ok = _split_result(
-                jax.device_get(call(pair_budget)))
-        live = head[:, 0] >= 0
-        head = head[live]
-        summaries = unpack_summary(packed[live].astype(np.int32), top_k,
-                                   lean=self.lean)
+        head, packed = self.collect_arrays(futs)
+        summaries = unpack_summary(packed, top_k, lean=self.lean)
         out = [[] for _ in range(M)]
         for b in range(head.shape[0]):
             mi = int(head[b, 0])

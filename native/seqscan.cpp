@@ -491,3 +491,54 @@ extern "C" int64_t walk_candidates(
     }
     return cnt;
 }
+
+// --------------------------------------------------------------------
+// Host speed-of-light microbenchmark for the DTW band update — the
+// reference's hottest consensus loop (ref:
+// sequence/alignment/asm_amd64.s:17-149: per 32xuint16 band,
+// new[i] = min(stay, step, skip1+d, skip2+2d) + d[i], horizontal min,
+// subtract min, clamp to threshold).  Runs `reps` full passes over
+// `n_bands` bands, each pass feeding its output back as the next
+// input, exactly the data flow of the consensus beam.  The measured
+// updates/second anchor the bench suite's consensus baseline (an
+// optimized-host model of what the reference's SIMD kernel can do).
+extern "C" int64_t band_update_rounds(const uint16_t* ds, uint16_t* bands,
+                                      int64_t n_bands, int32_t W,
+                                      int32_t threshold, int32_t reps) {
+    std::vector<uint16_t> raw((size_t)W);
+    int64_t sink = 0;
+    for (int32_t r = 0; r < reps; r++) {
+        for (int64_t b = 0; b < n_bands; b++) {
+            const uint16_t* d = ds + b * W;
+            uint16_t* p = bands + b * W;
+            uint32_t m = 0xFFFF;
+            for (int32_t i = 0; i < W; i++) {
+                uint32_t best = p[i];                       // step
+                uint32_t stay = (i + 1 < W) ? p[i + 1] : 0xFFFFu;
+                if (stay < best) best = stay;
+                if (i >= 1) {
+                    uint32_t s1 = (uint32_t)p[i - 1] + d[i - 1];
+                    if (s1 > 0xFFFFu) s1 = 0xFFFFu;
+                    if (s1 < best) best = s1;
+                }
+                if (i >= 2) {
+                    uint32_t s2 = (uint32_t)p[i - 2] + d[i - 2];
+                    if (s2 > 0xFFFFu) s2 = 0xFFFFu;
+                    s2 += d[i - 1];
+                    if (s2 > 0xFFFFu) s2 = 0xFFFFu;
+                    if (s2 < best) best = s2;
+                }
+                uint32_t v = best + d[i];
+                if (v > 0xFFFFu) v = 0xFFFFu;
+                raw[i] = (uint16_t)v;
+                if (v < m) m = v;
+            }
+            for (int32_t i = 0; i < W; i++) {
+                uint32_t v = (uint32_t)raw[i] - m;
+                p[i] = (v >= (uint32_t)threshold) ? 0xFFFF : (uint16_t)v;
+            }
+            sink += (int64_t)m;
+        }
+    }
+    return sink;
+}
