@@ -80,9 +80,14 @@ class Mapper:
         live on device; each query batch is one dispatch
         (``ops.map_engine``)."""
         from ..ops.map_engine import MapEngine
-        # nt=320: 10 kb chunks at the default seed rate carry ~290-315
-        # seeds (the old 256 truncated every chunk's tail ~1.5 kb out of
-        # the anchor tables).
+        # nt sized to the real max chunk seed count (128 grid, floor 320
+        # = the typical 10 kb/seed-rate-40 load): a fixed width silently
+        # truncated dense chunks' tail anchors AND disqualified the
+        # engine's derive/binned paths (which require complete chunk
+        # tables) at genome scale.
+        max_ts = max((s.num_seeds for s in self.index.sequences),
+                     default=1)
+        nt = min(2048, max(320, ((max_ts + 127) // 128) * 128))
         # nq scales with seed-table density: a 1 kb window's expected
         # table hits = window_kmers * distinct_seeds / 4^k (~11 for
         # E. coli at k=11, ~100+ for genome-scale references), and a
@@ -93,7 +98,7 @@ class Mapper:
         # binned=True arms two-level genome-bin retrieval; the engine
         # engages it only once the chunk count makes the flat gather the
         # bottleneck (>=1024 chunks ~ a >=10 Mb reference)
-        self.engine = MapEngine(self.index, self.k, nq=nq, nt=320,
+        self.engine = MapEngine(self.index, self.k, nq=nq, nt=nt,
                                 mesh=self.mesh, hit_fraction=0.25,
                                 lean=True, binned=True)
 

@@ -58,7 +58,10 @@ def _gate_counts(kmers, lens, km_table):
     valid = pos < lens[:, None]
     rows = jnp.take(km_table, km, axis=0)  # [n, W, A] int8
     rows = jnp.where(valid[:, :, None], rows, 0)
-    return jnp.sum(rows.astype(jnp.int32), axis=1)
+    # dtype= accumulates int32 straight from the int8 rows — an
+    # .astype(int32) first would materialize a 4x-bytes copy of the
+    # gathered block (W x A is ~32 KB per window)
+    return jnp.sum(rows, axis=1, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "W", "max_anchors",
