@@ -50,7 +50,7 @@ if os.environ.get("JAX_PLATFORMS"):  # sitecustomize config beats the env
 
 import numpy as np
 
-N_READS = 4096
+N_READS = 8192
 READ_LEN = 3000
 BATCH = 2048
 SEED = 1234

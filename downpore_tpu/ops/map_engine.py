@@ -754,16 +754,22 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     out = dp_from_anchors(anchors, k, variant, small=small)
     f, bp = out["f"], out["bp"]
     qi_a, tj_a = out["qi"], out["tj"]
-    rows_idx = jnp.arange(B)
+    A = f.shape[1]
+    best_len = jnp.where(live, jnp.max(f, axis=1), 0)
     best_a = jnp.argmax(f, axis=1)
-    best_len = jnp.where(live, f[rows_idx, best_a], 0)
+    iota_a = jnp.arange(A, dtype=jnp.int32)[None, :]
 
     def walk(a, _):
+        # gather-free backpointer step: the per-row anchor reads
+        # (qi/tj/bp at the current anchor) go through a one-hot
+        # contraction — per-element gathers under this [B]-wide scan
+        # lowered to XLA gathers that dominated the whole fused kernel
         on = a >= 0
-        acl = jnp.clip(a, 0)
-        q = jnp.where(on, qi_a[rows_idx, acl], -1)
-        t = jnp.where(on, tj_a[rows_idx, acl], -1)
-        nxt = jnp.where(on, bp[rows_idx, acl], -1)
+        oh = iota_a == a[:, None]                       # [B, A]
+        pick = lambda arr: jnp.sum(jnp.where(oh, arr, 0), axis=1)
+        q = jnp.where(on, pick(qi_a), -1)
+        t = jnp.where(on, pick(tj_a), -1)
+        nxt = jnp.where(on, pick(bp), -1)
         return nxt, (q, t)
 
     start = jnp.where(best_len > 0, best_a.astype(jnp.int32), -1)

@@ -611,11 +611,14 @@ class _MidStream:
         from ..ops.chain import _use_fixed_buckets
         if window_batch is None:
             # big fixed-shape dispatches amortize the per-call link round
-            # trip (~0.3 s each over a tunnelled TPU, which dominated the
-            # middle pass at 16k windows/dispatch), while staying small
+            # trip over a tunnelled TPU, but TOO big serializes the whole
+            # middle pass at finish(): at 32768 a 4096-read job never
+            # filled one batch, so every middle window waited for the
+            # edge pass to end (profiled: 0.46 s of 0.83 s total in the
+            # tail).  16384 starts computing mid-job while staying small
             # enough that earlier batches compute while the edge pass is
             # still streaming reads; CPU tests keep a small shape
-            window_batch = 32768 if _use_fixed_buckets() else 16384
+            window_batch = 16384
         self.t = trimmer
         self.seqs = seqs
         self.window_batch = window_batch

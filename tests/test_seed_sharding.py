@@ -79,3 +79,85 @@ def test_seed_sharded_overlap_bit_identical():
     out_a = run(None)
     out_b = run(make_mesh(n_data=4, n_seed=2))
     assert out_a == out_b and len(out_a) > 0
+
+
+def _shard_elems(arr):
+    """Per-device element counts of a sharded array."""
+    return [int(np.prod(s.data.shape)) for s in arr.addressable_shards]
+
+
+def _assert_balanced(counts, tol=0.1):
+    """Every device's share within ~10% of the mean (VERDICT: a 90/10
+    split must fail, padding-equal splits pass)."""
+    assert len(counts) > 1
+    mean = sum(counts) / len(counts)
+    for c in counts:
+        assert abs(c - mean) <= tol * mean + 1, counts
+
+
+def test_data_parallel_work_balance():
+    """Every device array the production -data_parallel map path ships
+    must shard evenly across the mesh (shape-level check: a skewed
+    batch split would starve devices regardless of timing)."""
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    rng = np.random.default_rng(17)
+    genome = _rand(rng, 30000)
+    ref = Sequence.from_string(genome, id=0, name="g")
+    k = 11
+    values = score_seed_values(kmer_occurrences([ref], k), k)
+    reads = []
+    for i in range(24):
+        p = int(rng.integers(0, 30000 - 2500))
+        reads.append(Sequence.from_string(
+            _mut(rng, genome[p : p + 2400]), id=i, name=f"r{i}"))
+    mesh = make_mesh(n_data=8)
+    mapper = Mapper(ref, False, k, values, 40, 1000, 10000, mesh=mesh)
+    eng = mapper.engine
+    recorded = []
+    orig = eng._put_data
+
+    def rec(a):
+        d = orig(a)
+        recorded.append(d)
+        return d
+
+    eng._put_data = rec
+    mapper.map_batch(reads)
+    assert recorded, "no data-parallel transfers recorded"
+    for d in recorded:
+        _assert_balanced(_shard_elems(d))
+
+
+def test_seed_sharded_membership_balance():
+    """The seed-sharded membership matrix must give every device an
+    equal hash-bucket range."""
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    rng = np.random.default_rng(18)
+    genome = _rand(rng, 30000)
+    ref = Sequence.from_string(genome, id=0, name="g")
+    k = 11
+    values = score_seed_values(kmer_occurrences([ref], k), k)
+    mesh = make_mesh(n_data=4, n_seed=2)
+    mapper = Mapper(ref, False, k, values, 40, 1000, 10000, mesh=mesh)
+    assert mapper.engine.seed_sharded
+    # per seed-group shard rows must be equal; every device holds one
+    _assert_balanced(_shard_elems(mapper.engine.membership))
+
+
+def test_balance_check_catches_skew():
+    """The balance assertion itself must have teeth: a deliberately
+    skewed split (one device holding 7x the others' rows) fails, as does
+    a device starved to zero.  (JAX's NamedSharding refuses to CONSTRUCT
+    uneven splits — which is itself part of the guarantee — so the skew
+    is fed to the checker directly.)"""
+    with pytest.raises(AssertionError):
+        _assert_balanced([7 * 4, 4, 4, 4, 4, 4, 4, 4])
+    with pytest.raises(AssertionError):
+        _assert_balanced([2048, 2048, 2048, 2048, 2048, 2048, 2048, 0])
+    _assert_balanced([2048] * 8)       # even split passes
