@@ -525,11 +525,94 @@ def bench_consensus():
 
 
 # ---------------------------------------------------------------------
+def _make_reads_bulk(path, n_reads, read_len=3000):
+    """Vectorized ~GB-scale synthetic fastq generator (adapter + core +
+    adapter per read, 2% adapter noise).  Reuses an existing file of the
+    right size so repeated bench runs skip the generation."""
+    from downpore_tpu.data import FRONT_ADAPTERS, BACK_ADAPTERS
+    marker = path + ".meta"
+    if os.path.exists(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == f"{n_reads}:{read_len}":
+                return os.path.getsize(path)
+    rng = np.random.default_rng(SEED + 77)
+    f_ad = np.frombuffer(FRONT_ADAPTERS[0][1].encode(), np.uint8)
+    b_ad = np.frombuffer(BACK_ADAPTERS[0][1].encode(), np.uint8)
+    B = 4096
+    with open(path, "w", buffering=1 << 22) as f:
+        for lo in range(0, n_reads, B):
+            n = min(B, n_reads - lo)
+            cores = BASES[rng.integers(0, 4, (n, read_len))]
+            fa = np.broadcast_to(f_ad, (n, len(f_ad))).copy()
+            ba = np.broadcast_to(b_ad, (n, len(b_ad))).copy()
+            for arr in (fa, ba):
+                m = rng.random(arr.shape) < 0.02
+                arr[m] = BASES[rng.integers(0, 4, int(m.sum()))]
+            qual = "I" * (read_len + len(f_ad) + len(b_ad))
+            rows = np.concatenate([fa, cores, ba], axis=1)
+            chunks = []
+            for i in range(n):
+                chunks.append(f"@gr{lo + i}\n")
+                chunks.append(rows[i].tobytes().decode())
+                chunks.append(f"\n+\n{qual}\n")
+            f.write("".join(chunks))
+    with open(marker, "w") as f:
+        f.write(f"{n_reads}:{read_len}")
+    return os.path.getsize(path)
+
+
+def bench_trim_gb():
+    """GB-scale end-to-end trim: the full CLI flow (streamed edge +
+    middle passes, then re-read + re-emit of the trimmed fastq) over a
+    ~1 GB on-disk file, I/O included — the reference's own methodology
+    (its 1 GB/min worst-case demultiplex anchor and 25-31x Porechop
+    trim runs are wall-clock over 0.5-2 GB files,
+    ref README.md:126,135-142).  Reports MB/s of input fastq and peak
+    RSS."""
+    import resource
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.io import SequenceSet
+    from downpore_tpu.trim import Trimmer
+    from downpore_tpu.data import FRONT_ADAPTERS, BACK_ADAPTERS
+
+    path = "/tmp/bench_gb.fastq"
+    n_reads = 163_840                 # ~1 GB at 3 kb reads
+    t0 = time.time()
+    nbytes = _make_reads_bulk(path, n_reads)
+    note(f"gb-scale fastq: {nbytes / 1e9:.2f} GB, {n_reads} reads "
+         f"(gen/reuse {time.time() - t0:.0f}s)")
+
+    fronts = [Sequence.from_string(s, id=i, name=n)
+              for i, (n, s) in enumerate(FRONT_ADAPTERS)]
+    backs = [Sequence.from_string(s, id=i, name=n)
+             for i, (n, s) in enumerate(BACK_ADAPTERS)]
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t1 = time.time()
+    seq_set = SequenceSet(path, min_length=50)
+    trimmer = Trimmer(fronts, backs, k=6, verbosity=0)
+    trimmer.set_trim_params(85, 5, 50, 1000, True, True, False)
+    trimmer.trim(seq_set, batch_size=8192)
+    out_path = "/tmp/bench_gb_trimmed.fastq"
+    with open(out_path, "w", buffering=1 << 22) as out:
+        seq_set.write(out)
+    dt = time.time() - t1
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    mb_s = nbytes / dt / 1e6
+    note(f"gb-scale trim: {dt:.1f}s wall (trim+re-emit), peak_rss="
+         f"{rss:.1f}GB (suite baseline {rss0 / 1e6:.1f}GB), "
+         f"out={os.path.getsize(out_path) / 1e9:.2f}GB")
+    os.remove(out_path)
+    # anchor: the reference's worst-case 1 GB/min = 16.7 MB/s
+    emit("trim_gb_scale_mb_per_s", mb_s, "MB/s", mb_s / 16.7,
+         peak_rss_gb=rss)
+
+
 def main():
     t_setup = time.time()
     note(f"backend={jax.default_backend()}")
     sections = [("map", bench_map), ("overlap", bench_overlap),
-                ("consensus", bench_consensus), ("trim", bench_trim)]
+                ("consensus", bench_consensus),
+                ("trim_gb", bench_trim_gb), ("trim", bench_trim)]
     for name, fn in sections:
         t0 = time.time()
         try:

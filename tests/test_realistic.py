@@ -9,7 +9,7 @@ import pytest
 from downpore_tpu.core import Sequence
 from downpore_tpu.sim import (ont_read, sample_reads, score_mappings,
                               structured_genome, plant_low_complexity,
-                              plant_tandem_repeat, revcomp)
+                              plant_tandem_repeat, random_genome, revcomp)
 
 
 def test_ont_error_model_rates():
@@ -148,3 +148,46 @@ def test_consensus_fixes_homopolymer_errors():
     acc_raw = max(kmer_acc(m, tmpl) for m in members)
     assert acc_cons > acc_raw + 0.15, (acc_cons, acc_raw)
     assert acc_cons > 0.75, acc_cons
+
+
+def test_map_chunk_boundary_class():
+    """Root-cause regression for the historical 1/100 map miss
+    (STATUS r02): reads whose head starts just before an unoverlapped
+    chunk boundary.
+
+    The reference's interleaved chunking (mapping/mapping.go:79-101,
+    ported in Mapper.__init__) makes chunk starts {j*10k + i*99k}: within
+    each 99 kb stride, internal boundaries at 10k..90k have ZERO overlap
+    between neighbouring chunks, so a 1 kb end-window spanning one splits
+    into two sub-window matches that can each fall under the adaptive
+    min-match rule.  The reference has the identical geometry (its own
+    per-read recall is 99.9%, not 100%).  This test pins the failure to
+    its bounded form: the read still maps to the true locus, and any
+    uncovered head is smaller than one query window (1 kb)."""
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+
+    rng = np.random.default_rng(33)
+    G = 220_000
+    genome = random_genome(rng, G)
+    ref = Sequence.from_string(genome, id=0, name="g")
+    k = 11
+    values = score_seed_values(kmer_occurrences([ref], k), k)
+    mapper = Mapper(ref, False, k, values, 40, 1000, 10000)
+
+    seqs, truths = [], []
+    for i, boundary in enumerate((30_000, 50_000, 70_000, 90_000)):
+        start = boundary - 480       # head spans the boundary
+        L = 6000
+        r = ont_read(rng, genome[start : start + L])
+        seqs.append(Sequence.from_string(r, id=i, name=f"b{i}"))
+        truths.append((start, start + L))
+    out = mapper.map_batch(seqs)
+    for (s, e), ms in zip(truths, out):
+        assert ms, "boundary read did not map at all"
+        best = max(ms, key=lambda m: m.end - m.start)
+        # true locus found...
+        assert abs(best.end - e) < 1200 and best.start < s + 1200
+        # ...and the uncovered head is bounded by one query window
+        assert best.start - s < 1100, (s, e, best)
