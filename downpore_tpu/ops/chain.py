@@ -193,6 +193,62 @@ def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend",
     return out
 
 
+def _chain_scan_lean(qi, tj, qp, tp, valid, k: int,
+                     variant: str = "extend", small: bool = False):
+    """Forward-only anchor DP carrying just (score, bp).
+
+    The overlap path consumes only the forward chain lengths and
+    backpointers (the walk reconstructs coordinates), so the full scan's
+    4 extra carried arrays (cov_q/cov_t/start_qp/start_tp) and their
+    per-step one-hot picks — plus the entire backward pass — are pure
+    overhead there.  Identical recurrence => identical f/bp."""
+    n = qi.shape[0]
+    dt = jnp.int16 if small else jnp.int32
+    neg = jnp.asarray(-(2 ** 14) if small else NEG, dt)
+    if small:
+        qi, tj, qp, tp = (a.astype(dt) for a in (qi, tj, qp, tp))
+    idx = jnp.arange(n)
+    kd = jnp.asarray(k, dt)
+
+    def body(t, state):
+        score, bp = state
+        gap_q = qp[t] - qp - kd
+        gap_t = tp[t] - tp - kd
+        ok = (idx < t) & valid & (qi < qi[t]) & (tj < tj[t]) \
+            & _window_ok(gap_q.astype(jnp.int32),
+                         gap_t.astype(jnp.int32), k, variant) & (score > 0)
+        cand = jnp.where(ok, score, neg)
+        best = jnp.argmax(cand)
+        best_score = jnp.max(cand)
+        has_prev = best_score > 0
+        new_score = jnp.where(has_prev, best_score + 1, 1).astype(dt)
+        new_bp = jnp.where(has_prev, best.astype(dt), -1)
+        v = valid[t]
+        at_t = idx == t
+        score = jnp.where(at_t, jnp.where(v, new_score, 0), score)
+        bp = jnp.where(at_t, jnp.where(v, new_bp, -1), bp)
+        return score, bp
+
+    init = (jnp.zeros(n, dt), jnp.full(n, -1, dt))
+    score, bp = jax.lax.fori_loop(0, n, body, init)
+    if small:
+        score, bp = score.astype(jnp.int32), bp.astype(jnp.int32)
+    return score, bp
+
+
+def dp_forward_lean(anchors, k: int, variant: str = "extend",
+                    small: bool = False):
+    """Forward-only chain DP (see ``_chain_scan_lean``): returns a dict
+    with ``qi, tj, f, bp`` — exactly what the overlap best-chain walk
+    consumes, at ~1/4 the device traffic of ``dp_from_anchors``."""
+    qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
+                             anchors["tp"], anchors["valid"])
+    fwd = jax.vmap(_chain_scan_lean,
+                   in_axes=(0, 0, 0, 0, 0, None, None, None))
+    f, bp = fwd(qi, tj, qp, tp, valid, k, variant, small)
+    return {"qi": qi, "tj": tj, "f": f, "bp": bp}
+
+
 def dp_from_anchors(anchors, k: int, variant: str = "extend",
                     small: bool = False):
     """Forward + backward chain DP over a prepared anchor batch.

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import match as match_ops
-from .chain import make_anchors_topk, dp_from_anchors, summarize_dp, \
-    unpack_summary, _bucket, compact_indices
+from .chain import make_anchors_topk, dp_from_anchors, dp_forward_lean, \
+    summarize_dp, unpack_summary, _bucket, compact_indices
 
 # binned-retrieval engagement threshold and bin width (module-level so
 # tests can exercise the binned path at toy scale)
@@ -751,7 +751,8 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
                                   ci_p.reshape(NCH, CH)))
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
-    out = dp_from_anchors(anchors, k, variant, small=small)
+    # forward-only lean DP: the walk below consumes only f/bp/qi/tj
+    out = dp_forward_lean(anchors, k, variant, small=small)
     f, bp = out["f"], out["bp"]
     qi_a, tj_a = out["qi"], out["tj"]
     A = f.shape[1]
