@@ -437,9 +437,10 @@ def bench_consensus():
 
     rng = np.random.default_rng(SEED + 30)
     k = 5
-    # 256 jobs ~ one correct-round's consensus load; 64 underfills the
-    # vmapped beam (device time is nearly flat in job count up to ~256)
-    n_jobs, n_members, core_len = 256, 6, 500
+    # 1024 jobs ~ a GB-scale correct round's consensus load; the bulk
+    # engine chunks the job axis at 256 (VMEM-resident window matrices)
+    # so throughput is flat in job count from 256 up
+    n_jobs, n_members, core_len = 1024, 6, 500
 
     def job_kmers():
         core = BASES[rng.integers(0, 4, core_len + k - 1)]
