@@ -187,7 +187,7 @@ def _chain_scan(qi, tj, qp, tp, valid, k: int, variant: str = "extend",
         return score, cov_q, cov_t, s_qp, s_tp, bp
 
     init = (jnp.zeros(n, dt),) * 5 + (jnp.full(n, -1, dt),)
-    out = jax.lax.fori_loop(0, n, body, init)
+    out = jax.lax.fori_loop(0, n, body, init, unroll=8)
     if small:
         out = tuple(a.astype(jnp.int32) for a in out)
     return out
@@ -230,7 +230,10 @@ def _chain_scan_lean(qi, tj, qp, tp, valid, k: int,
         return score, bp
 
     init = (jnp.zeros(n, dt), jnp.full(n, -1, dt))
-    score, bp = jax.lax.fori_loop(0, n, body, init)
+    # unroll: the per-iteration launch overhead of the sequential loop
+    # dominates at production widths (a budget sweep measured the fused
+    # overlap kernel ~flat in budget — ~50 ms of fixed per-step cost)
+    score, bp = jax.lax.fori_loop(0, n, body, init, unroll=8)
     if small:
         score, bp = score.astype(jnp.int32), bp.astype(jnp.int32)
     return score, bp

@@ -774,7 +774,8 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
         return nxt, (q, t)
 
     start = jnp.where(best_len > 0, best_a.astype(jnp.int32), -1)
-    _, (cq, ct) = jax.lax.scan(walk, start, None, length=chain_len)
+    _, (cq, ct) = jax.lax.scan(walk, start, None, length=chain_len,
+                               unroll=8)
     cq = cq.T.astype(jnp.int16)      # [B, L], end -> start
     ct = ct.T.astype(jnp.int16)
     head = jnp.stack([jnp.where(live, mi, -1), ci, best_len,
