@@ -349,15 +349,15 @@ def bench_overlap():
     values = score_seed_values(counts, k)
 
     def prep_round(first):
-        """One round's host half (the CLI's prep_round)."""
+        """One round's host half (the CLI's prep_round): pass-2 query
+        re-extraction runs concurrently with chunk indexing."""
         index = SeedIndex(k)
         ov = Overlapper(index, 10000, 1000, 15, 0.25)
-        sub = reads[first:]
-        queries = ov.prepare_queries(15, 10000, values, iter(sub),
-                                     QUERY_EDGES)
+        queries = ov.prepare_round(15, 10000, values,
+                                   iter(reads[first:]), QUERY_EDGES,
+                                   iter(reads))
         if not queries:
             return None
-        ov.add_sequences(iter(reads))
         nxt = max(q.sequence_id for q in queries) + 1  # read ids = index
         return ov, queries, nxt
 

@@ -84,11 +84,14 @@ class OverlapCommand(Command):
             overlapper = Overlapper(index, chunk_size, overlap_size,
                                     num_seeds, hit_fraction, mesh=mesh)
             seqs = seq_set.get_n_sequences_from(first, query_batch_size)
-            queries = overlapper.prepare_queries(
-                num_seeds, seed_batch_size, values, seqs, QUERY_EDGES)
+            # query re-extraction and read chunk indexing overlap on a
+            # worker thread after pass 1 freezes the seed set (prep is
+            # the pipelined round's critical path)
+            queries = overlapper.prepare_round(
+                num_seeds, seed_batch_size, values, seqs, QUERY_EDGES,
+                seq_set.get_sequences())
             if not queries:
                 return None
-            overlapper.add_sequences(seq_set.get_sequences())
             nxt = max(q.sequence_id for q in queries) + 1
             return index, overlapper, queries, nxt
 

@@ -130,7 +130,9 @@ def count_seed_kmers(codes: np.ndarray, k: int, table: np.ndarray,
                                   k, _ptr(tbl, ctypes.c_uint8), cap))
 
 
-_ws_scratch = [np.empty(0, np.int32), np.empty(0, np.int32)]
+import threading
+
+_ws_tls = threading.local()
 
 
 def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
@@ -141,11 +143,14 @@ def write_segments(codes: np.ndarray, k: int, table: np.ndarray):
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     tbl = np.ascontiguousarray(table, dtype=np.uint8)
     # reused scratch: two fresh ~read-size allocations per call showed up
-    # in overlap query-prep profiles (page-fault pathology)
-    if _ws_scratch[0].shape[0] < n + 1:
-        _ws_scratch[0] = np.empty(max(n + 1, 65536), np.int32)
-        _ws_scratch[1] = np.empty(max(n + 1, 65536), np.int32)
-    gaps, kmers = _ws_scratch
+    # in overlap query-prep profiles (page-fault pathology).  Thread-local
+    # so concurrent prep threads (query re-extract || chunk indexing)
+    # cannot race on the buffers.
+    scr = getattr(_ws_tls, "scratch", None)
+    if scr is None or scr[0].shape[0] < n + 1:
+        scr = _ws_tls.scratch = [np.empty(max(n + 1, 65536), np.int32),
+                                 np.empty(max(n + 1, 65536), np.int32)]
+    gaps, kmers = scr
     cnt = L.write_segments(_ptr(codes, ctypes.c_uint8), n, k,
                            _ptr(tbl, ctypes.c_uint8),
                            _ptr(gaps, ctypes.c_int32),

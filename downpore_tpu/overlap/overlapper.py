@@ -105,15 +105,23 @@ class Overlapper:
                 self.index.add_seeds(sub, ns, kmer_values)
         return cached
 
-    def prepare_queries(self, num_seeds: int, seed_limit: int,
-                        kmer_values: np.ndarray,
-                        seqs: Iterable[Sequence],
-                        query_type: int) -> List[SeedQuery]:
-        """Two-pass query prep: grow seeds, then re-extract every query
-        with the full seed set plus its RC twin
-        (ref: overlap/overlap.go:157-214)."""
-        cached = self._query_subsequences(seqs, query_type, seed_limit,
-                                          num_seeds, kmer_values)
+    def prepare_queries_pass1(self, num_seeds: int, seed_limit: int,
+                              kmer_values: np.ndarray,
+                              seqs: Iterable[Sequence],
+                              query_type: int) -> List[Sequence]:
+        """Pass 1 of query prep: pick query subsequences and grow the
+        round's seed set until ``seed_limit``.  After this the seed
+        table is frozen, so pass 2 (query re-extraction) and
+        ``add_sequences`` (read chunk indexing) only READ it — drivers
+        run those two concurrently (the native extraction releases the
+        GIL; measured prep was the overlap round's critical path)."""
+        return self._query_subsequences(seqs, query_type, seed_limit,
+                                        num_seeds, kmer_values)
+
+    def prepare_queries_pass2(self, cached: List[Sequence]
+                              ) -> List[SeedQuery]:
+        """Pass 2: re-extract every cached query subsequence with the
+        full seed set, plus its RC twin (ref: overlap/overlap.go:182-213)."""
         queries: List[SeedQuery] = []
         k = self.index.k
         for qid, ss in enumerate(
@@ -123,6 +131,35 @@ class Overlapper:
                                      ss.reverse_complement(k, self.index),
                                      True, True))
         return queries
+
+    def prepare_queries(self, num_seeds: int, seed_limit: int,
+                        kmer_values: np.ndarray,
+                        seqs: Iterable[Sequence],
+                        query_type: int) -> List[SeedQuery]:
+        """Two-pass query prep: grow seeds, then re-extract every query
+        with the full seed set plus its RC twin
+        (ref: overlap/overlap.go:157-214)."""
+        return self.prepare_queries_pass2(self.prepare_queries_pass1(
+            seqs=seqs, query_type=query_type, seed_limit=seed_limit,
+            num_seeds=num_seeds, kmer_values=kmer_values))
+
+    def prepare_round(self, num_seeds: int, seed_limit: int,
+                      kmer_values: np.ndarray, query_seqs,
+                      query_type: int, all_seqs) -> List[SeedQuery]:
+        """Full round prep with the query re-extraction and the read
+        chunk indexing overlapped on a worker thread (both only read the
+        pass-1-frozen seed table; the heavy extraction is native and
+        GIL-releasing).  Equivalent to prepare_queries + add_sequences."""
+        cached = self.prepare_queries_pass1(num_seeds, seed_limit,
+                                            kmer_values, query_seqs,
+                                            query_type)
+        if not cached:
+            return []
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as tp:
+            fq = tp.submit(self.prepare_queries_pass2, cached)
+            self.add_sequences(all_seqs)
+            return fq.result()
 
     # -- indexing -------------------------------------------------------
     def add_sequences(self, seqs: Iterable[Sequence]):
