@@ -612,9 +612,12 @@ def bench_trim_gb():
          f"{rss:.1f}GB (suite baseline {rss0 / 1e6:.1f}GB), "
          f"out={os.path.getsize(out_path) / 1e9:.2f}GB")
     os.remove(out_path)
-    # anchor: the reference's worst-case 1 GB/min = 16.7 MB/s
+    # anchor: the reference's worst-case 1 GB/min = 16.7 MB/s.
+    # peak_rss_gb is the PROCESS high-water mark (the suite's earlier
+    # 64 Mb map section dominates it); rss_delta_gb is what this
+    # section itself added
     emit("trim_gb_scale_mb_per_s", mb_s, "MB/s", mb_s / 16.7,
-         peak_rss_gb=rss)
+         peak_rss_gb=rss, rss_delta_gb=rss - rss0 / 1e6)
 
 
 def main():

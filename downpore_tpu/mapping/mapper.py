@@ -358,7 +358,25 @@ class Mapper:
         return open_a, open_b, matched
 
     # -- top-level per-read mapping -------------------------------------
+    _SHARD_MIN = 2048   # shard-threading threshold (module-testable)
+
     def map_batch(self, reads: List[Sequence]) -> List[List[Mapping]]:
+        """Map a batch of reads.  Large batches split into two shards
+        mapped on concurrent threads: the per-read stage chain
+        (ends -> mapNext -> split) is sequential with a link round trip
+        per stage, so one shard's host/fetch work hides under the other
+        shard's device compute.  Reads are independent, so results are
+        identical to the unsharded run."""
+        if len(reads) >= self._SHARD_MIN and self.mesh is None:
+            from concurrent.futures import ThreadPoolExecutor
+            mid = (len(reads) + 1) // 2
+            with ThreadPoolExecutor(max_workers=1) as tp:
+                fut = tp.submit(self._map_batch_one, reads[mid:])
+                out_a = self._map_batch_one(reads[:mid])
+                return out_a + fut.result()
+        return self._map_batch_one(reads)
+
+    def _map_batch_one(self, reads: List[Sequence]) -> List[List[Mapping]]:
         """Map a batch of reads, batching every device stage across reads
         (ref flow: mapping/mapping.go:430-487)."""
         results: List[Optional[List[Mapping]]] = [None] * len(reads)

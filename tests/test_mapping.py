@@ -233,3 +233,35 @@ def test_derived_buckets_hashed_parity():
                                  jnp.asarray(db_h, jnp.int32)))
     d_d = np.asarray(_count_rows(jnp.asarray(mem), db_d))
     np.testing.assert_array_equal(d_h, d_d)
+
+
+def test_sharded_map_batch_identical(monkeypatch):
+    """map_batch's two-shard threading must produce identical results to
+    the single-shard path (reads are independent; this pins it)."""
+    import numpy as np
+    from downpore_tpu.mapping import Mapper
+    from downpore_tpu.utils import kmer_occurrences
+    from downpore_tpu.utils.kmers import score_seed_values
+    from downpore_tpu.core import Sequence
+
+    B = np.frombuffer(b"ACGT", np.uint8)
+    rng = np.random.default_rng(3)
+    genome = B[rng.integers(0, 4, 60000)].tobytes().decode()
+    ref = Sequence.from_string(genome, id=0, name="g")
+    values = score_seed_values(kmer_occurrences([ref], 11), 11)
+    mapper = Mapper(ref, False, 11, values, 40, 1000, 10000)
+    reads = []
+    for i in range(20):
+        p = int(rng.integers(0, 60000 - 4000))
+        arr = np.frombuffer(genome[p : p + 3800].encode(), np.uint8).copy()
+        m = rng.random(len(arr)) < 0.05
+        arr[m] = B[rng.integers(0, 4, int(m.sum()))]
+        reads.append(Sequence.from_string(arr.tobytes().decode(), id=i,
+                                          name=f"r{i}"))
+    single = [[mapper.as_string(m) for m in ms]
+              for ms in mapper._map_batch_one(reads)]
+    monkeypatch.setattr(Mapper, "_SHARD_MIN", 8)
+    sharded = [[mapper.as_string(m) for m in ms]
+               for ms in mapper.map_batch(reads)]
+    assert single == sharded
+    assert sum(1 for ms in single if ms) >= 18
