@@ -1113,6 +1113,62 @@ class MapEngine:
         return q_seeds, q_pos, q_rb, q_db, num_sets, q_len, num_seeds
 
     # -- host-side query packing ---------------------------------------
+    def pack_queries_vec(self, seed_queries: List) -> tuple:
+        """Vectorized ``pack_queries(need_buckets=False)``: one flat
+        numpy pass over the concatenated seed/gap arrays replaces the
+        per-query Python loop (~30 us/query — ~20 ms per overlap round,
+        measured INSIDE the dispatch critical path).  Exact same outputs;
+        falls back to the loop for query sets with >512-seed outliers."""
+        M = len(seed_queries)
+        nq = self.nq
+        if M == 0:
+            return self.pack_queries(seed_queries, need_buckets=False)
+        k = self.k
+        lens = np.fromiter((q.num_seeds for q in seed_queries), np.int64,
+                           M)
+        if int(lens.max(initial=0)) > 512:
+            return self.pack_queries(seed_queries, need_buckets=False)
+        total = int(lens.sum())
+        q_seeds = np.full((M, nq), -1, np.int32)
+        q_pos = np.zeros((M, nq), np.int32)
+        q_rb = np.full((M, nq), -1, np.int32)
+        q_db = np.full((M, nq), -1, np.int32)
+        num_sets = np.zeros(M, np.int32)
+        q_len = np.fromiter((q.length for q in seed_queries), np.int32, M)
+        if total == 0:
+            return q_seeds, q_pos, q_rb, q_db, num_sets, q_len
+        seeds_flat = np.concatenate(
+            [np.asarray(q.seeds, np.int64) for q in seed_queries])
+        gaps_flat = np.concatenate(
+            [np.asarray(q.gaps[:-1], np.int64) if q.num_seeds
+             else np.empty(0, np.int64) for q in seed_queries])
+        starts = np.zeros(M + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        seg0 = starts[:-1]
+        rix = np.repeat(np.arange(M), lens)
+        pos_in_q = np.arange(total) - seg0[rix]
+        first = pos_in_q == 0
+        # segmented seed_positions: cumsum of (gap, +k from slot 1)
+        steps = gaps_flat.copy()
+        steps[~first] += k
+        cs = np.cumsum(steps)
+        base = cs[seg0[rix]] - steps[seg0[rix]]
+        pos_flat = cs - base
+        keep = pos_in_q < nq
+        q_seeds[rix[keep], pos_in_q[keep]] = seeds_flat[keep]
+        q_pos[rix[keep], pos_in_q[keep]] = pos_flat[keep]
+        # num_sets: usable-run collapse over the FULL seed list
+        # (ref Matches semantics, seeds/seeds.go:335-353)
+        us = (seeds_flat >= 0) & (self.usable[np.clip(seeds_flat, 0,
+                                                      None)])
+        acc = np.maximum.accumulate(np.where(us, np.arange(total), -1))
+        prev = np.concatenate([[-1], acc[:-1]])
+        prev = np.where(prev >= seg0[rix], prev, -1)  # same-query only
+        pv = np.where(prev >= 0, seeds_flat[np.clip(prev, 0, None)], -2)
+        run_start = us & (pv != seeds_flat)
+        num_sets[:] = np.bincount(rix[run_start], minlength=M)
+        return q_seeds, q_pos, q_rb, q_db, num_sets, q_len
+
     def pack_queries(self, seed_queries: List,
                      need_buckets: bool = True) -> tuple:
         """Seed sequences -> fixed-shape device inputs.
@@ -1367,8 +1423,9 @@ class MapEngine:
         # when every query's seeds fit the width, buckets are derived on
         # device — skip building them on host entirely
         derive = not self.seed_sharded and max_ns <= nq_eff
-        q_seeds, q_pos, q_rb, q_db, num_sets, _ = \
-            self.pack_queries(seed_queries, need_buckets=not derive)
+        q_seeds, q_pos, q_rb, q_db, num_sets, _ = (
+            self.pack_queries_vec(seed_queries) if derive
+            else self.pack_queries(seed_queries, need_buckets=True))
         q_seeds = q_seeds[:, :nq_eff]
         q_pos = q_pos[:, :nq_eff]
         chain_len = min(chain_len, nq_eff)

@@ -203,3 +203,34 @@ def test_device_derived_membership_matches_host():
         if s.seeds.size:
             mem2[match_ops.hash_ids(np.unique(s.seeds), S, H2), ci] = 1
     assert np.array_equal(got2, mem2)
+
+
+def test_pack_queries_vec_parity():
+    """The vectorized query packer must equal the per-query loop on all
+    need_buckets=False fields, including empty and sub-k queries."""
+    import numpy as np
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.seeds import SeedIndex
+    from downpore_tpu.ops.map_engine import MapEngine
+
+    rng = np.random.default_rng(9)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    reads = [Sequence.from_string(
+        B[rng.integers(0, 4, int(rng.integers(60, 900)))].tobytes()
+        .decode(), id=i) for i in range(40)]
+    index = SeedIndex(8)
+    ones = np.ones(4 ** 8)
+    for r in reads[:12]:
+        index.add_seeds(r, 12, ones)
+    chunks = [index.new_seed_sequence(r) for r in reads]
+    for c in chunks:
+        index.add_sequence(c)
+    index.index_sequences()
+    eng = MapEngine(index, 8, nq=64, nt=256)
+    queries = [index.new_seed_sequence(r) for r in reads]
+    queries.append(index.new_seed_sequence(
+        Sequence.from_string("ACG", id=99)))      # sub-k: zero seeds
+    a = eng.pack_queries(queries, need_buckets=False)
+    b = eng.pack_queries_vec(queries)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
