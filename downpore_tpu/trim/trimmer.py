@@ -304,6 +304,14 @@ class Trimmer:
         # behind the edge pass.  Checkpointed runs keep the re-reading
         # two-pass flow, whose stage boundaries are the resume points.
         stream = None if checkpoint else self._mid_stream(seqs)
+        # middle-window packing/dispatch/collect runs on ONE worker
+        # thread: profiled on the main thread it serialized with edge
+        # collects and starved the device (mid_add+mid_fin was ~60% of
+        # trim wall); the stream's state is touched only by this worker
+        # until the drain below
+        from concurrent.futures import ThreadPoolExecutor
+        stream_ex = ThreadPoolExecutor(max_workers=1) if stream else None
+        stream_futs = []
 
         def feed_stream(batch_seqs):
             subs = []
@@ -314,7 +322,7 @@ class Trimmer:
                 df = seqs.get_front_trim(rid)
                 db = seqs.get_back_trim(rid)
                 subs.append(s.subsequence(df, len(s) - db))
-            stream.add_batch(subs)
+            stream_futs.append(stream_ex.submit(stream.add_batch, subs))
 
         if not progress.get("edges_done"):
             self._log("Trimming ends and indexing all sequences against",
@@ -352,6 +360,9 @@ class Trimmer:
 
         # middle pass: split reads on interior adapters
         if stream is not None:
+            for f in stream_futs:     # drain the feed worker (and
+                f.result()            # surface any exception)
+            stream_ex.shutdown(wait=True)
             stream.finish()
         else:
             self._middle_pass(seqs)
