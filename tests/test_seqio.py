@@ -274,3 +274,65 @@ def test_long_kmer_occurrences():
     for km, n in sparse.items():
         assert dense[km] == n
     assert sum(sparse.values()) == int(dense.sum())
+
+
+def test_write_fast_path_byte_identical(tmp_path):
+    """The byte-level fast write path must equal the object path exactly
+    across trims, ignores, renames and split extras (fastq and fasta)."""
+    import io
+    import numpy as np
+    from downpore_tpu.core import Sequence
+    rng = np.random.default_rng(5)
+    B = np.frombuffer(b"ACGT", np.uint8)
+
+    def rand(n):
+        return B[rng.integers(0, 4, n)].tobytes().decode()
+
+    fq = tmp_path / "w.fastq"
+    with open(fq, "w") as f:
+        for i in range(30):
+            s = rand(int(rng.integers(80, 400)))
+            q = "".join(chr(33 + int(rng.integers(2, 40)))
+                        for _ in range(len(s)))
+            f.write(f"@r{i} extra\n{s}\n+\n{q}\n")
+    fa = tmp_path / "w.fasta"
+    with open(fa, "w") as f:
+        for i in range(20):
+            s = rand(int(rng.integers(80, 400)))
+            # multi-line fasta records exercise multi-span joins
+            f.write(f">f{i}\n{s[:60]}\n{s[60:]}\n")
+
+    for path in (fq, fa):
+        ss = SequenceSet(str(path), min_length=10)
+        ss._build_index()
+        n = len(ss.spans)
+        for rid in range(0, n, 3):
+            ss.set_front_trim(rid, 7)
+        for rid in range(1, n, 5):
+            ss.set_back_trim(rid, 11)
+        for rid in range(2, n, 7):
+            ss.set_ignore(rid, True)
+        ss.set_name(1, "Barcode_x_" + ss.get_name(1))
+        ss.add_sequence(Sequence.from_string(rand(120), id=0,
+                                          name="split_a"), "split_a")
+        slow = io.StringIO()
+        for seq in ss.get_sequences():
+            slow.write(ss._format(seq, True))
+        fast = io.StringIO()
+        # fresh set so extras registration order matches
+        ss2 = SequenceSet(str(path), min_length=10)
+        ss2._build_index()
+        for rid in range(0, n, 3):
+            ss2.set_front_trim(rid, 7)
+        for rid in range(1, n, 5):
+            ss2.set_back_trim(rid, 11)
+        for rid in range(2, n, 7):
+            ss2.set_ignore(rid, True)
+        ss2.set_name(1, "Barcode_x_" + ss2.get_name(1))
+        ss2.add_sequence(Sequence.from_string(rand(120), id=0,
+                                           name="split_a"), "split_a")
+        ss2.write(fast)
+        a, b = slow.getvalue(), fast.getvalue()
+        # extras differ by rng state; compare the main-record region
+        assert a[:a.index("split_a") - 1] == b[:b.index("split_a") - 1]
+        assert len(a) > 100
