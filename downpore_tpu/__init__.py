@@ -1,3 +1,20 @@
+
+# glibc malloc tuning: in sandboxed environments, returning big buffers
+# to the OS makes every fresh multi-hundred-MB numpy allocation re-fault
+# its pages at ~90 us/page (measured: a 0.5 GB astype cost 12 s; the
+# identical op on recycled pages 0.17 s).  Keeping large allocations on
+# the heap and never trimming lets the allocator recycle mapped pages.
+# Opt out with DOWNPORE_NO_MALLOPT=1.
+import os as _os
+
+if not _os.environ.get("DOWNPORE_NO_MALLOPT"):
+    try:
+        import ctypes as _ctypes
+        _libc = _ctypes.CDLL("libc.so.6", use_errno=True)
+        _libc.mallopt(-4, 0)          # M_MMAP_MAX = 0
+        _libc.mallopt(-1, 1 << 30)    # M_TRIM_THRESHOLD = never
+    except Exception:
+        pass
 """downpore_tpu — a TPU-native long-read sequence-analysis engine.
 
 A from-scratch JAX/XLA/Pallas framework with the capabilities of the

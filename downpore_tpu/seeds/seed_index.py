@@ -274,10 +274,15 @@ class SeedIndex:
         ``ops.match``) (ref: seeds/seeds.go:292-305)."""
         S = self.num_seeds
         C = len(self.sequences)
-        counts = np.zeros(S, dtype=np.int64)
-        for s in self.sequences:
-            if s.seeds.size:
-                counts += np.bincount(np.unique(s.seeds), minlength=S)
+        # one concatenated bincount: a per-chunk bincount(minlength=S)
+        # allocated and summed a full [S] array per chunk (~3 TB of
+        # traffic at 6.5k chunks x 67M seeds on a 64 Mb genome)
+        uniq = [np.unique(s.seeds) for s in self.sequences if s.seeds.size]
+        if uniq:
+            counts = np.bincount(np.concatenate(uniq),
+                                 minlength=S).astype(np.int64)
+        else:
+            counts = np.zeros(S, dtype=np.int64)
         self._seed_counts = counts
         self._membership = None
         if S * max(C, 1) <= 200_000_000:

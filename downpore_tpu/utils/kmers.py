@@ -19,12 +19,14 @@ from ..core.sequence import Sequence, kmer_value, rolling_kmers
 def kmer_occurrences(seqs: Iterable[Sequence], k: int) -> np.ndarray:
     """Dense k-mer counts over all sequences (uint64[4**k])."""
     size = 4 ** k
-    counts = np.zeros(size, dtype=np.uint64)
+    counts = np.zeros(size, dtype=np.int64)
     for seq in seqs:
         ks = seq.kmers(k)
         if ks.size:
-            counts += np.bincount(ks, minlength=size).astype(np.uint64)
-    return counts
+            # accumulate int64 and convert ONCE: a per-seq astype copied
+            # the full 4^k array each time (0.5 GB per pass at k=13)
+            counts += np.bincount(ks, minlength=size)
+    return counts.astype(np.uint64)
 
 
 def top_occurrences(counts: np.ndarray, k: int, top_n: int,
@@ -32,18 +34,32 @@ def top_occurrences(counts: np.ndarray, k: int, top_n: int,
     """(bottom_ids, top_ids) after merging forward/RC counts, mirroring
     TopOccurrences (ref: util/sequtil/kmers.go:87-112).  The bottom list
     starts at the first non-zero merged count."""
-    merged = counts.astype(np.uint64).copy()
+    # int64 internally: uint64 partition/compare paths are pathologically
+    # slow in this numpy build (counts fit int64 by construction)
+    merged = counts.astype(np.int64)
     rc = _rc_table(k)
     merged = merged + merged[rc]
-    order = np.argsort(merged, kind="stable")
-    svals = merged[order]
-    # scalar must match the array dtype or numpy casts the whole array
-    start = int(np.searchsorted(svals, np.uint64(1)))  # first non-zero
-    if start > len(merged) - bottom_n:
-        start = len(merged) - bottom_n
-    bottoms = order[start : start + bottom_n]
-    tops = order[len(order) - top_n:]
-    return bottoms, tops
+    n = len(merged)
+
+    def ranked_slice(lo_rank: int, m: int) -> np.ndarray:
+        """Indices at stable-ascending ranks [lo_rank, lo_rank + m) —
+        identical selection AND order to a full stable argsort, via an
+        O(n) partition + a small sort of the boundary value band (the
+        full 4^k argsort cost ~15 s at k=13)."""
+        if m <= 0:
+            return np.empty(0, np.int64)
+        hi_rank = min(lo_rank + m - 1, n - 1)
+        vs = np.partition(merged, [lo_rank, hi_rank])
+        v_lo, v_hi = vs[lo_rank], vs[hi_rank]
+        cand = np.flatnonzero((merged >= v_lo) & (merged <= v_hi))
+        cand = cand[np.argsort(merged[cand], kind="stable")]
+        below = int((merged < v_lo).sum())
+        return cand[lo_rank - below : lo_rank - below + m]
+
+    start = int((merged == 0).sum())  # first non-zero rank
+    if start > n - bottom_n:
+        start = n - bottom_n
+    return ranked_slice(start, bottom_n), ranked_slice(n - top_n, top_n)
 
 
 _RC_TABLES = {}
@@ -54,7 +70,10 @@ def _rc_table(k: int) -> np.ndarray:
     vectorized bit passes (no gathers; fast even at 4^11 entries)."""
     if k in _RC_TABLES:
         return _RC_TABLES[k]
-    v = np.arange(4 ** k, dtype=np.int64) ^ (4 ** k - 1)  # complement
+    # uint32 while k <= 13 (2k <= 26 bits): halves the first-build page
+    # pressure, which dominates in this sandbox (see the mallopt note)
+    dt = np.uint32 if 2 * k <= 32 else np.int64
+    v = np.arange(4 ** k, dtype=dt) ^ dt(4 ** k - 1)  # complement
     # reverse the k 2-bit groups within 2k bits: classic swap cascade on
     # a power-of-two width, then shift out the unused high groups
     width = 1
@@ -70,10 +89,14 @@ def _rc_table(k: int) -> np.ndarray:
     }
     step = 2
     while step < bits:
-        m = np.int64(masks[step] & ((1 << bits) - 1))
-        v = ((v >> step) & m) | ((v & m) << step)
+        m = dt(masks[step] & ((1 << bits) - 1) & (2 ** 64 - 1)
+               if dt is np.int64 else
+               masks[step] & ((1 << min(bits, 32)) - 1))
+        v = ((v >> dt(step)) & m) | ((v & m) << dt(step))
         step *= 2
-    v >>= bits - 2 * k
+    v >>= dt(bits - 2 * k)
+    if dt is not np.int64:
+        v = v.astype(np.int32)
     _RC_TABLES[k] = v
     return v
 
@@ -82,14 +105,19 @@ def default_kmer_values(counts: np.ndarray,
                         target_freq: float = 0.000005) -> np.ndarray:
     """Frequency-targeted seed values: prefer k-mers near ~1:200000
     frequency, zero rare (<3) k-mers (ref: commands/map.go:52-63)."""
-    counts = counts.astype(np.float64)
-    tot = counts.sum()
-    freq = counts / max(tot, 1.0)
+    # out=-chained: every fresh multi-hundred-MB temporary re-faults its
+    # pages at pathological cost in this sandbox (see the package-level
+    # mallopt note); one allocation + in-place ops instead of six
+    c = counts.astype(np.int64)
+    values = c.astype(np.float64)
+    tot = float(values.sum())
+    np.divide(values, max(tot, 1.0), out=values)
     # the branchy form collapses to 1 - |freq - target|; plain arithmetic
-    # sidesteps np.where / boolean fancy indexing, which are pathologically
-    # slow on multi-million-element arrays in this numpy build
-    values = 1.0 - np.abs(freq - target_freq)
-    values *= counts >= 3
+    # sidesteps np.where / boolean fancy indexing
+    np.subtract(values, target_freq, out=values)
+    np.abs(values, out=values)
+    np.subtract(1.0, values, out=values)
+    values *= c >= 3
     return values
 
 
