@@ -1,0 +1,481 @@
+"""Fused Pallas TPU kernel for the device beam-search DTW consensus.
+
+The XLA engine (``ops.dtw.device_consensus``) expresses one beam step as
+~50 small HBM-resident ops inside a ``lax.scan``; its window fetch is a
+one-hot MXU contraction that re-reads the whole blocked window matrix
+every step, which capped it at ~4% HBM utilisation (223 kbases/s,
+BENCH_r03).  This kernel runs the ENTIRE scan on-core: one grid cell
+owns a block of ``JB`` consensus jobs, keeps the padded member k-mer
+arrays, the cost bands, and all beam state resident in VMEM, and loops
+over consensus steps with zero HBM traffic beyond the initial sequence
+load and the per-step (kmer, parent, finished, cost) record row.
+
+Semantics match the XLA engine step for step (same vote rule with the
+advance-requiring ``ahead`` mask, the same duplicate-state suppression,
+quality decay 0.95, drift recentring, finished freezing, and traceback
+selection), replacing the reference's sequential landmark beam
+(ref: sequence/alignment/alignment.go:556-1052) and its hand-written
+band-update kernel (ref: sequence/alignment/asm_amd64.s:17-149).
+
+Layout notes (Mosaic restricts lane-dim reshapes/relayouts):
+* beam rows live job-major as R = JB*B sublanes; per-(job, beam)
+  scalars are [R, 1] columns, candidate scalars [R, 4];
+* the four successor branches are packed into lanes ([R, N, 4*W]),
+  with segment-local reductions done as in-lane roll cascades that
+  leave results broadcast across their 32-lane segment;
+* cross-beam interactions (duplicate suppression, top-k, parent
+  gather) are within-job sublane rolls — a per-row barrel shift by
+  (parent - row) replaces the XLA engine's gather.
+
+Differences vs the XLA engine, both bounded and tested:
+* the window fetch reads a 256-lane slice anchored at the job's
+  minimum live band frontier instead of the full sequence — lanes
+  further than ~224 positions ahead of the slowest member's frontier
+  are treated as out-of-band (divergence needs a >224-base within-job
+  alignment spread, far past anything the +/-16 band can track);
+* only the ``simple_k`` arithmetic measures run here (the production
+  default); table measures (nanopore model / confusion matrices) fall
+  back to the XLA engine.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pragma: no cover - TPU-only module; CPU tests use interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+FULL = 0xFFFF
+BIG = np.int32(1 << 28)
+BAD_DS = BIG // 64          # the XLA engine's out-of-band distance
+W = 32                      # the reference band width (asm_amd64.s)
+INIT = 8                    # initialOffset (ref: alignment.go:15)
+CENTRE = W // 2
+PAD = W                     # sequence pad, mirrors ops.dtw PAD
+JB = 8                      # jobs per grid cell
+NBR = 4                     # successor branches per beam state
+
+# (shift, weight) schedule of align.measures.build_simple_table
+# (ref: measures.go:45-104) — identical to ops.dtw._SIMPLE_WEIGHTS
+_SIMPLE_WEIGHTS = {
+    5: ((4, 8), (6, 2), (2, 2), (0, 1), (8, 1)),
+    4: ((4, 4), (2, 4), (6, 2), (0, 2)),
+    3: ((2, 8), (4, 2), (0, 2)),
+    6: ((4, 4), (6, 4), (2, 2), (8, 2), (0, 1), (10, 1)),
+    1: ((0, 8),),
+}
+
+
+def _seg_bcast(x, op, lane, seg: int, fill):
+    """Segment-local reduce of the last axis in `seg`-lane groups, result
+    broadcast across each segment (no lane reshapes)."""
+    w = lane % seg
+    m = x
+    sh = seg // 2
+    while sh:
+        rolled = jnp.roll(m, -sh, axis=-1)
+        m = op(m, jnp.where(w < seg - sh, rolled, fill))
+        sh //= 2
+    # m[w] = reduce of x[w..segend]; broadcast segment head to all lanes
+    b = m
+    sh = 1
+    while sh < seg:
+        rolled = jnp.roll(b, sh, axis=-1)
+        b = jnp.where((w & sh) != 0, rolled, b)
+        sh *= 2
+    return b
+
+
+def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
+            bands, positions, kmers, costs, quality, finished, baserow,
+            *, k: int, beam: int, t_max: int, threshold: int,
+            gap_cost: int, simple_k: int, LP: int, N: int):
+    B = beam
+    R = JB * B
+    full = jnp.int32(FULL)
+    mask_k = (1 << (2 * k)) - 1
+
+    lane4w = jax.lax.broadcasted_iota(jnp.int32, (R, N, NBR * W), 2)
+    w4 = lane4w % W
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, N, W), 2)
+    rb = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % B   # beam idx
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (R, NBR), 1)
+    cand_idx = rb * NBR + lane_c                              # [R, 4]
+
+    def jroll(x, s):
+        """Within-job row roll: y[(j,b)] = x[(j, (b+s) % B)]."""
+        if s % B == 0:
+            return x
+        s = s % B
+        cond = (rb < (B - s)).astype(jnp.int32)
+        while cond.ndim < x.ndim:
+            cond = cond[..., None]
+        cond = cond > 0
+        return jnp.where(cond, jnp.roll(x, -s, axis=0),
+                         jnp.roll(x, B - s, axis=0))
+
+    def jobmin(x):
+        """Min across a job's B rows, broadcast back to all of them."""
+        sh = B // 2
+        while sh:
+            x = jnp.minimum(x, jroll(x, sh))
+            sh //= 2
+        return x
+
+    def jobmax(x):
+        sh = B // 2
+        while sh:
+            x = jnp.maximum(x, jroll(x, sh))
+            sh //= 2
+        return x
+
+    lens = lens_ref[:]                                     # [JB, N]
+    live_m = lens > 0
+    live_r = jnp.repeat(live_m, B, axis=0)                 # [R, N]
+    live_i = live_r.astype(jnp.int32)[:, :, None]          # [R, N, 1]
+    lens_r = jnp.repeat(lens, B, axis=0)
+
+    # ---- initial state ------------------------------------------------
+    firsts_r = jnp.repeat(firsts_ref[:], B, axis=0)        # [R, 1]
+    s0 = seqs_ref[:, :, PAD:PAD + 1]                       # [JB, N, 1]
+    match0 = jnp.repeat(
+        (s0 == firsts_ref[:][..., None]).astype(jnp.int32), B, axis=0)
+    off0 = jnp.full((R, N, W), gap_cost, jnp.int32)
+    off0 = jnp.where(lane_w < INIT, full, off0)
+    off0 = jnp.where((lane_w == INIT) & (match0 > 0), 0, off0)
+    bands[...] = off0
+    positions[...] = jnp.full((R, N), INIT, jnp.int32)
+    kmers[...] = firsts_r
+    costs[...] = jnp.where(rb == 0, 0, BIG)
+    quality[...] = jnp.ones((R, N), jnp.float32)
+    pad_r = ~jnp.repeat(jnp.any(live_m, axis=1, keepdims=True), B, axis=0)
+    finished[...] = pad_r.astype(jnp.int32)
+    # window bases are 128-aligned (Mosaic lane-dim dynamic slices must
+    # be provably aligned); the 256-lane window gives off in [0, 224]
+    baserow[...] = jnp.zeros((R, 1), jnp.int32)
+
+    def step(t, _):
+        job_has_fin = jobmax(finished[...])                # [R, 1]
+        alive = jnp.any(job_has_fin == 0)
+
+        @pl.when(alive)
+        def _body():
+            kmer = kmers[...]                              # [R, 1]
+            poffs = bands[...]                             # [R, N, W]
+            pos = positions[...]                           # [R, N]
+            q = quality[...]
+            cost0 = costs[...]                             # [R, 1]
+            finr = finished[...] != 0                      # [R, 1]
+
+            pos2 = pos + 1
+            o = pos2 - CENTRE + PAD                        # [R, N]
+
+            # ---- window fetch: one 256-lane slice per job ------------
+            win_parts = []
+            for j in range(JB):
+                st = pl.multiple_of(baserow[j * B, 0], 128)
+                win_parts.append(seqs_ref[j, :, pl.ds(st, 256)])
+            win_j = jnp.stack(win_parts, axis=0)           # [JB, N, 256]
+            win = jnp.repeat(win_j, B, axis=0)             # [R, N, 256]
+            off = o - baserow[...]                         # [R, N]
+            off_ok = (off >= 0) & (off <= 224) & (o >= 0) & (o < LP)
+            offc = jnp.clip(off, 0, 224)[..., None]
+            for bit in (128, 64, 32, 16, 8):
+                win = jnp.where((offc & bit) != 0,
+                                jnp.roll(win, -bit, axis=2), win)
+            win = win[:, :, :48]
+            for bit in (4, 2, 1):
+                win = jnp.where((offc & bit) != 0,
+                                jnp.roll(win, -bit, axis=2), win)
+            km_at = win[:, :, :W]                          # [R, N, W]
+            km_bad = (km_at < 0) | (off_ok.astype(jnp.int32)[..., None] == 0)
+
+            # ---- distances, branch-decomposed ------------------------
+            shifted = (kmer << 2) & mask_k                 # [R, 1]
+            kl = km_at & 3
+            kh = (km_at ^ kl) & mask_k
+            d_hi = kh ^ shifted[..., None]                 # [R, N, W]
+            cost_hi = jnp.zeros_like(d_hi)
+            w0 = 0
+            for sh, wt in _SIMPLE_WEIGHTS[simple_k]:
+                if sh == 0:
+                    w0 = wt
+                    continue
+                bit = ((d_hi >> sh) | (d_hi >> (sh + 1))) & 1
+                cost_hi = cost_hi + bit * wt
+            ds_parts = []
+            for c in range(NBR):
+                dc = cost_hi + w0 * (kl != c)
+                ds_parts.append(jnp.where(km_bad, BAD_DS, dc))
+            ds = jnp.concatenate(ds_parts, axis=-1)        # [R, N, 4W]
+
+            # ---- band update (branch-packed lanes) -------------------
+            sat = lambda x: jnp.minimum(x, full)
+            p4 = jnp.concatenate([poffs] * NBR, axis=-1)   # [R, N, 4W]
+            stay = jnp.where(w4 == W - 1, full, jnp.roll(p4, -1, axis=2))
+            pd = sat(p4 + ds)
+            skip1 = jnp.where(w4 == 0, full, jnp.roll(pd, 1, axis=2))
+            ds_next = jnp.where(w4 == W - 1, BAD_DS,
+                                jnp.roll(ds, -1, axis=2))
+            two = sat(pd + ds_next)
+            skip2 = jnp.where(w4 < 2, full, jnp.roll(two, 2, axis=2))
+            best = jnp.minimum(jnp.minimum(p4, stay),
+                               jnp.minimum(skip1, skip2))
+            raw = sat(best + ds)
+            m_b = _seg_bcast(raw, jnp.minimum, lane4w, W, full * 4)
+            out = jnp.maximum(raw - m_b, 0)
+            out = jnp.where(out >= threshold, full, out)
+
+            # ---- votes ------------------------------------------------
+            key = poffs * (2 * W) + (W - 1 - lane_w)
+            bl = (W - 1) - jnp.min(key, axis=-1, keepdims=True) % (2 * W)
+            ahead = w4 >= bl                               # [R, N, 4W]
+            exact_l = ((ds == 0) & (out < full) & ahead).astype(jnp.int32)
+            exact_b = _seg_bcast(exact_l, jnp.maximum, lane4w, W, 0)
+            vote_w = jnp.floor(8.0 * q + 0.5)[..., None]   # [R, N, 1]
+            votes = jnp.sum(
+                jnp.where((exact_b > 0) & (live_i > 0), vote_w, 0.0),
+                axis=1)                                    # [R, 4W]
+            seq_cost = jnp.sum(
+                jnp.where(live_i > 0, m_b, 0), axis=1)  # [R, 4W]
+
+            cand_b = cost0 + seq_cost                      # [R, 4W]
+            cand_b = jnp.where(votes > 0, cand_b, BIG)
+            lane2d = jax.lax.broadcasted_iota(
+                jnp.int32, (R, NBR * W), 1)
+            cand_b = jnp.where(finr,
+                               jnp.where(lane2d < W, cost0, BIG), cand_b)
+            # compress to one lane per branch
+            cc4 = jnp.concatenate(
+                [cand_b[:, c * W:c * W + 1] for c in range(NBR)], axis=1)
+            nextk4 = jnp.concatenate(
+                [shifted | c for c in range(NBR)], axis=1)  # [R, 4]
+            effk4 = jnp.where(finr, kmer, nextk4)
+
+            # ---- duplicate suppression (ref ops.dtw step) ------------
+            live_row = (~finr).astype(jnp.int32)
+            dup = jnp.zeros((R, NBR), jnp.int32)
+            for d in range(B):
+                sk_d = jroll(kmer, d)
+                sc_d = jroll(cost0, d)
+                lv_d = jroll(live_row, d)
+                if d:  # dup vs live parent-generation slots (not own)
+                    dup = dup | ((effk4 == sk_d) & (sc_d <= cc4)
+                                 & (lv_d > 0)).astype(jnp.int32)
+                ck_d = jroll(effk4, d)
+                cc_d = jroll(cc4, d)
+                pf_d = jroll(finr.astype(jnp.int32), d)
+                base_i = ((rb + d) % B) * NBR
+                for dc in range(NBR):
+                    if d == 0 and dc == 0:
+                        continue
+                    ck2 = jnp.roll(ck_d, -dc, axis=1) if dc else ck_d
+                    cc2 = jnp.roll(cc_d, -dc, axis=1) if dc else cc_d
+                    idx2 = base_i + (lane_c + dc) % NBR
+                    better = (cc2 < cc4) | ((cc2 == cc4)
+                                            & (idx2 < cand_idx))
+                    dup = dup | ((effk4 == ck2) & better
+                                 & (pf_d == 0)).astype(jnp.int32)
+            dup = jnp.where(finr, 0, dup)
+            fcost = jnp.where(dup > 0, BIG, cc4)           # [R, 4]
+
+            # ---- top-B (lowest cost, lowest index on ties) -----------
+            fc = fcost
+            sels, mns = [], []
+            for _ in range(B):
+                mn = jobmin(jnp.min(fc, axis=1, keepdims=True))
+                sel = jobmin(jnp.min(
+                    jnp.where(fc == mn, cand_idx, B * NBR), axis=1,
+                    keepdims=True))                        # [R, 1]
+                sels.append(sel)
+                mns.append(mn)
+                fc = jnp.where(cand_idx == sel, BIG + 1, fc)
+            sel_row = jnp.zeros((R, 1), jnp.int32)
+            selc_row = jnp.zeros((R, 1), jnp.int32)
+            for i in range(B):
+                here = (rb == i).astype(jnp.int32)
+                sel_row = sel_row + here * sels[i]
+                selc_row = selc_row + here * mns[i]
+            parent_row = sel_row // NBR
+            branch_row = sel_row % NBR
+
+            # ---- parent gather: masked select over the 8 deltas ------
+            # (a per-row barrel roll does NOT compose here: the second
+            # roll would read rows already shifted by their own deltas)
+            delta = (parent_row - rb) % B                  # [R, 1]
+
+            def bsel(x):
+                acc = None
+                for d in range(B):
+                    cond = (delta == d).astype(jnp.int32)
+                    while cond.ndim < x.ndim:
+                        cond = cond[..., None]
+                    cond = cond > 0
+                    y = jroll(x, d)
+                    acc = y if acc is None else jnp.where(cond, y, acc)
+                return acc
+
+            # frozen rows' bands/positions are never observable (their
+            # candidates are cost-frozen, votes gated, window base
+            # masked), so old poffs/pos need no gather — only the
+            # fields below flow into records or live-row state
+            exact4 = jnp.concatenate(
+                [exact_b[:, :, c * W:c * W + 1] for c in range(NBR)],
+                axis=2)                                    # [R, N, 4]
+            big_sel = bsel(jnp.concatenate([out, exact4], axis=2))
+            out_sel = big_sel[:, :, :NBR * W]              # [R, N, 4W]
+            exact4_sel = big_sel[:, :, NBR * W:]
+            pos2_sel = bsel(pos2)
+            q_sel = bsel(q)
+            kmer_sel = bsel(kmer)
+            fin_sel = bsel(finr.astype(jnp.int32)) != 0    # [R, 1]
+
+            br3 = branch_row[..., None]                    # [R, 1, 1]
+            for bit, sh in ((1, W), (2, 2 * W)):
+                out_sel = jnp.where((br3 & bit) != 0,
+                                    jnp.roll(out_sel, -sh, axis=2),
+                                    out_sel)
+            new_off = out_sel[:, :, :W]
+            exact_n = jnp.zeros((R, N), jnp.int32)
+            for c in range(NBR):
+                exact_n = exact_n + jnp.where(
+                    branch_row == c,
+                    jnp.sum(exact4_sel[:, :, c:c + 1], axis=2), 0)
+
+            new_q = jnp.where(exact_n > 0, 1.0, q_sel * 0.95)
+            new_kmer = ((kmer_sel << 2) & mask_k) | branch_row
+            new_kmer = jnp.where(fin_sel, kmer_sel, new_kmer)
+            new_pos = pos2_sel
+            new_q = jnp.where(fin_sel, q_sel, new_q)
+
+            # ---- drift recentring ------------------------------------
+            key2 = new_off * (2 * W) + (W - 1 - lane_w)
+            bp = (W - 1) - jnp.min(key2, axis=-1) % (2 * W)  # [R, N]
+            drift = CENTRE - bp
+            do = (jnp.abs(drift) > 4) & ~fin_sel
+            shift = jnp.where(do, drift, 0)                # [R, N]
+            sh64 = jnp.concatenate(
+                [new_off, jnp.full((R, N, W), FULL, jnp.int32)], axis=-1)
+            u = jnp.mod(shift, 64)[..., None]
+            for bit in (32, 16, 8, 4, 2, 1):
+                sh64 = jnp.where((u & bit) != 0,
+                                 jnp.roll(sh64, bit, axis=2), sh64)
+            lane64 = jax.lax.broadcasted_iota(jnp.int32, (R, N, 64), 2)
+            src = lane64 - shift[..., None]
+            sh64 = jnp.where((src < 0) | (src >= W), full, sh64)
+            new_off = sh64[:, :, :W]
+            new_pos = new_pos - shift
+            best_lane = jnp.where(do, CENTRE, bp)
+            seq_pos = new_pos + best_lane - CENTRE
+            new_fin = fin_sel | (jnp.max(
+                ((seq_pos >= lens_r - 1) & live_r).astype(jnp.int32),
+                axis=1, keepdims=True) > 0)                # [R, 1]
+
+            # ---- commit ----------------------------------------------
+            bands[...] = new_off
+            positions[...] = new_pos
+            kmers[...] = new_kmer
+            costs[...] = selc_row
+            quality[...] = new_q
+            finished[...] = new_fin.astype(jnp.int32)
+
+            # next step's window base: min live frontier per job
+            nxt_o = new_pos + 1 - CENTRE + PAD
+            masked_o = jnp.where(live_r & ~new_fin, nxt_o,
+                                 jnp.int32(1 << 20))
+            pj = jobmin(jnp.min(masked_o, axis=1, keepdims=True))
+            keep = pj >= (1 << 19)
+            pj = jnp.clip((pj // 128) * 128, 0, LP - 256)
+            baserow[...] = jnp.where(keep, baserow[...], pj)
+
+            # ---- record row ------------------------------------------
+            rec_row = jnp.concatenate(
+                [new_kmer.T, parent_row.T,
+                 new_fin.astype(jnp.int32).T, selc_row.T],
+                axis=1)                                    # [1, 4R]
+            rec_ref[0, pl.ds(t, 1), :] = rec_row
+
+        return 0
+
+    jax.lax.fori_loop(0, t_max, step, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "beam", "t_max", "threshold", "gap_cost",
+                              "simple_k", "interpret"))
+def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
+                             t_max: int, threshold: int, gap_cost: int,
+                             simple_k: int, interpret: bool = False):
+    """Run the fused beam scan for J jobs.
+
+    seqs: [J, N, LP] int32 (PAD-fronted, -1-filled); lens [J, N] int32;
+    firsts [J] int32.  J must be a JB multiple, LP a 128 multiple >= 256.
+    Returns records [J//JB, T, 4*JB*beam] int32 laid out
+    [kmer | parent | fin | cost] blocks of JB*beam (beam-minor).
+    """
+    J, N, LP = seqs.shape
+    assert J % JB == 0 and LP % 128 == 0 and LP >= 256
+    R = JB * beam
+    grid = (J // JB,)
+    kernel = functools.partial(
+        _kernel, k=k, beam=beam, t_max=t_max, threshold=threshold,
+        gap_cost=gap_cost, simple_k=simple_k, LP=LP, N=N)
+    rec = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((JB, N, LP), lambda i: (i, 0, 0)),
+            pl.BlockSpec((JB, N), lambda i: (i, 0)),
+            pl.BlockSpec((JB, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t_max, 4 * R), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((J // JB, t_max, 4 * R), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((R, N, W), jnp.int32),       # bands
+            pltpu.VMEM((R, N), jnp.int32),          # positions
+            pltpu.VMEM((R, 1), jnp.int32),          # kmers
+            pltpu.VMEM((R, 1), jnp.int32),          # costs
+            pltpu.VMEM((R, N), jnp.float32),        # quality
+            pltpu.VMEM((R, 1), jnp.int32),          # finished
+            pltpu.VMEM((R, 1), jnp.int32),          # window bases
+        ],
+        interpret=interpret,
+    )(seqs.astype(jnp.int32), lens.astype(jnp.int32),
+      firsts.astype(jnp.int32).reshape(J, 1))
+    return rec
+
+
+@functools.partial(jax.jit, static_argnames=("beam",))
+def _records_to_chains(rec, beam: int):
+    """Per-job traceback over the packed record tensor.
+
+    rec: [J//JB, T, 4*JB*beam] as produced by the kernel.  Returns
+    (chains [J, T] int32 -1-padded, n_valid [J] int32) in job order —
+    the same contract as ops.dtw's scan outputs."""
+    from downpore_tpu.ops.dtw import _device_traceback
+    JBl, T, R4 = rec.shape
+    R = R4 // 4
+    r = rec.reshape(JBl, T, 4, JB, beam)
+    r = r.transpose(0, 3, 1, 2, 4).reshape(JBl * JB, T, 4, beam)
+    kmers = r[:, :, 0]
+    parents = r[:, :, 1]
+    fin_at = r[:, :, 2] != 0
+    cost = r[:, :, 3]
+    return jax.vmap(_device_traceback)(kmers, parents, fin_at, cost)
+
+
+def pallas_consensus(seqs, lens, firsts, k: int, beam: int, t_max: int,
+                     threshold: int, gap_cost: int, simple_k: int,
+                     interpret: bool = False):
+    """Fused-kernel equivalent of ops.dtw._device_consensus_vmapped:
+    returns (chains [J, t_max], n_valid [J]) for a JB-multiple batch."""
+    rec = pallas_consensus_records(seqs, lens, firsts, k, beam, t_max,
+                                   threshold, gap_cost, simple_k,
+                                   interpret=interpret)
+    return _records_to_chains(rec, beam)
