@@ -61,6 +61,38 @@ BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 PEAK_BW = 819e9     # TPU v5e HBM bandwidth (bytes/s)
 
 
+def link_canary():
+    """Link-health canary (VERDICT r03 ask #6): one fixed tiny
+    dispatch+fetch (64 KB each way, a trivial jit), best of 3 plus
+    spread.  Emitted on every metric line so tunnel weather is data,
+    not prose — a regression with a steady canary is a code regression;
+    a noisy canary marks the line as weather-suspect."""
+    import jax.numpy as jnp
+    x = np.arange(16384, dtype=np.int32)
+    f = jax.jit(lambda a: a * 2 + 1)
+    np.asarray(f(jnp.asarray(x)))          # warm/compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(f(jnp.asarray(x)))
+        times.append(time.time() - t0)
+    best = min(times)
+    return {"link_ms": round(best * 1e3, 1),
+            "link_spread": round((max(times) - best) / max(best, 1e-9), 2)}
+
+
+def best_of(fn, n=2):
+    """Run fn() n times; return (best_seconds, spread) where spread is
+    (worst-best)/best over the timed runs."""
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    best = min(times)
+    return best, round((max(times) - best) / max(best, 1e-9), 3)
+
+
 def emit(metric, value, unit, vs, **extra):
     row = {"metric": metric, "value": round(value, 1), "unit": unit,
            "vs_baseline": round(vs, 3)}
@@ -143,16 +175,15 @@ def bench_trim():
     # I/O included — the reference numbers include I/O).  The tunnelled
     # link to the TPU has multi-second contention spikes; best-of-2
     # reports steady-state capability instead of link weather.
-    elapsed = None
-    for _ in range(2):
+    canary = link_canary()
+
+    def one_run():
         seq_set = SequenceSet(path, min_length=50)
-        t1 = time.time()
         trimmer2 = Trimmer(trimmer.original_front, trimmer.original_back,
                            k=6, verbosity=0)
         run_trim(seq_set, trimmer2)
-        dt = time.time() - t1
-        elapsed = dt if elapsed is None else min(elapsed, dt)
 
+    elapsed, spread = best_of(one_run)
     reads_s = N_READS / elapsed
     # reference anchor: ~1 GB/min of fastq on the 16T desktop
     ref_bytes_s = 1e9 / 60.0
@@ -162,7 +193,7 @@ def bench_trim():
          f"mean_read={READ_LEN + 50}b")
     busy, bw = _trim_stage_breakdown(trimmer)
     emit("trim_reads_per_s", reads_s, "reads/s", reads_s / baseline_reads_s,
-         busy_frac=busy, bw_util=bw)
+         busy_frac=busy, bw_util=bw, spread=spread, **canary)
 
 
 def _trim_stage_breakdown(trimmer):
@@ -246,19 +277,20 @@ def _map_case(GEN, k, n_reads, tag, err=0.08):
         reads.append(Sequence.from_string(s, id=i, name=f"r{i}"))
     total_bases = sum(len(r) for r in reads)
     mapper.map_batch(reads)          # warmup compiles all shape buckets
-    elapsed = None
-    for _ in range(2):
-        t1 = time.time()
-        results = mapper.map_batch(reads)
-        dt = time.time() - t1
-        elapsed = dt if elapsed is None else min(elapsed, dt)
+    canary = link_canary()
+    results = []
+
+    def one_run():
+        results[:] = mapper.map_batch(reads)
+
+    elapsed, spread = best_of(one_run)
     n_mapped = sum(1 for r in results if r)
     bases_s = total_bases / elapsed
     eng = mapper.engine
     note(f"map[{tag}] elapsed={elapsed:.1f}s reads={n_reads} "
          f"mapped={n_mapped} index_build={t_index:.1f}s "
          f"chunks={eng.C} binned={eng._binned}")
-    return bases_s, mapper, reads
+    return bases_s, mapper, reads, dict(spread=spread, **canary)
 
 
 def _map_breakdown(mapper, reads):
@@ -311,18 +343,18 @@ def bench_map():
     ref_ecoli = 1.5e9 / 6.7
     ref_chr20 = 2.0e9 / 48.7
 
-    bases_s, mapper, reads = _map_case(4_600_000, 11, 8192, "4.6Mb")
+    bases_s, mapper, reads, meta = _map_case(4_600_000, 11, 8192, "4.6Mb")
     bw = _map_breakdown(mapper, reads)
     emit("map_bases_per_s", bases_s, "bases/s", bases_s / ref_ecoli,
-         bw_util=bw, scale="4.6Mb genome")
+         bw_util=bw, scale="4.6Mb genome", **meta)
 
-    bases_1m, _, _ = _map_case(1_000_000, 11, 8192, "1Mb")
+    bases_1m, _, _, meta = _map_case(1_000_000, 11, 8192, "1Mb")
     emit("map_1mb_bases_per_s", bases_1m, "bases/s", bases_1m / ref_ecoli,
-         scale="1Mb genome (secondary)")
+         scale="1Mb genome (secondary)", **meta)
 
-    bases_64m, _, _ = _map_case(64_000_000, 13, 2048, "64Mb")
+    bases_64m, _, _, meta = _map_case(64_000_000, 13, 2048, "64Mb")
     emit("map_chr20_bases_per_s", bases_64m, "bases/s",
-         bases_64m / ref_chr20, scale="64Mb genome (secondary)")
+         bases_64m / ref_chr20, scale="64Mb genome (secondary)", **meta)
 
 
 # ---------------------------------------------------------------------
@@ -392,13 +424,14 @@ def bench_overlap():
         return matches, rounds
 
     run_job()                        # warmup compiles
-    elapsed = None
-    n_matches = n_rounds = 0
-    for _ in range(2):
-        t1 = time.time()
-        n_matches, n_rounds = run_job()
-        dt = time.time() - t1
-        elapsed = dt if elapsed is None else min(elapsed, dt)
+    canary = link_canary()
+    state = {}
+
+    def one_run():
+        state["m"], state["r"] = run_job()
+
+    elapsed, spread = best_of(one_run)
+    n_matches, n_rounds = state["m"], state["r"]
     bases_s = total_bases / elapsed
 
     # device-traffic model for one round's fused find kernel (dominant
@@ -426,7 +459,7 @@ def bench_overlap():
     note(f"overlap elapsed={elapsed:.1f}s reads={n_reads} "
          f"rounds={n_rounds} matches={n_matches}")
     emit("overlap_bases_per_s", bases_s, "bases/s", bases_s / ref_bases_s,
-         bw_util=bw)
+         bw_util=bw, spread=spread, **canary)
 
 
 # ---------------------------------------------------------------------
@@ -464,12 +497,13 @@ def bench_consensus():
     # warmup with the full job set: a smaller slice pads to a different
     # bucket and the first timed run would compile
     consensus_kmers_bulk(jobs, table, k, simple_k=k)
-    elapsed = None
-    for _ in range(2):
-        t1 = time.time()
-        outs = consensus_kmers_bulk(jobs, table, k, simple_k=k)
-        dt = time.time() - t1
-        elapsed = dt if elapsed is None else min(elapsed, dt)
+    canary = link_canary()
+    outs = []
+
+    def one_run():
+        outs[:] = consensus_kmers_bulk(jobs, table, k, simple_k=k)
+
+    elapsed, spread = best_of(one_run)
     total_bases = sum(len(o) + k - 1 for o in outs if len(o))
     bases_s = total_bases / elapsed
     # device-traffic model: per output k-mer step, [jobs, beam(16),
@@ -522,7 +556,7 @@ def bench_consensus():
          f"/ {upd_per_base:.0f} updates/base = {baseline / 1e6:.2f} "
          f"Mbases/s")
     emit("consensus_bases_per_s", bases_s, "bases/s", bases_s / baseline,
-         bw_util=bwc)
+         bw_util=bwc, spread=spread, **canary)
 
 
 # ---------------------------------------------------------------------
@@ -596,6 +630,7 @@ def bench_trim_gb():
     wtr = Trimmer(fronts, backs, k=6, verbosity=0)
     wtr.set_trim_params(85, 5, 50, 1000, True, True, False)
     wtr.trim(wset, batch_size=8192)
+    canary = link_canary()
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t1 = time.time()
     seq_set = SequenceSet(path, min_length=50)
@@ -617,7 +652,130 @@ def bench_trim_gb():
     # 64 Mb map section dominates it); rss_delta_gb is what this
     # section itself added
     emit("trim_gb_scale_mb_per_s", mb_s, "MB/s", mb_s / 16.7,
-         peak_rss_gb=rss, rss_delta_gb=rss - rss0 / 1e6)
+         peak_rss_gb=rss, rss_delta_gb=rss - rss0 / 1e6, **canary)
+
+
+def _make_genome_reads(path, genome, n_reads, read_len, err, seed,
+                       rc_half=True):
+    """Vectorized on-disk fasta of reads sampled from `genome` (bytes
+    array) with substitution noise; half reverse-complemented.  Reuses an
+    existing file of the right shape."""
+    marker = path + ".meta"
+    key = f"{len(genome)}:{n_reads}:{read_len}:{err}:{seed}"
+    if os.path.exists(path) and os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == key:
+                return os.path.getsize(path)
+    rng = np.random.default_rng(seed)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    B = 2048
+    with open(path, "w", buffering=1 << 22) as f:
+        for lo in range(0, n_reads, B):
+            n = min(B, n_reads - lo)
+            starts = rng.integers(0, len(genome) - read_len, n)
+            rows = np.stack([genome[s:s + read_len] for s in starts])
+            m = rng.random(rows.shape) < err
+            rows[m] = BASES[rng.integers(0, 4, int(m.sum()))]
+            chunks = []
+            for i in range(n):
+                s = rows[i].tobytes()
+                if rc_half and (lo + i) % 2:
+                    s = s.translate(comp)[::-1]
+                chunks.append(f">gr{lo + i}\n")
+                chunks.append(s.decode())
+                chunks.append("\n")
+            f.write("".join(chunks))
+    with open(marker, "w") as f:
+        f.write(key)
+    return os.path.getsize(path)
+
+
+def _run_command(cmd_cls, argv, out_path):
+    """Drive a real CLI command with stdout redirected to a file —
+    the disk-to-disk methodology of the reference's README numbers."""
+    from downpore_tpu.cli.framework import parse_argv
+    import contextlib
+    cmd = cmd_cls()
+    args = parse_argv(cmd, argv)
+    with open(out_path, "w", buffering=1 << 22) as out, \
+            contextlib.redirect_stdout(out):
+        cmd.run(args)
+
+
+def bench_map_gb():
+    """Disk-to-disk map (VERDICT r03 ask #8): a ~0.5 GB on-disk fasta of
+    8 kb reads streamed through the REAL map command (index build, PAF to
+    a file, I/O included) against a 4.6 Mb genome — the reference's own
+    methodology (1.5 GB E. coli fasta in 6.7 s end-to-end,
+    ref README.md:240)."""
+    import resource
+    from downpore_tpu.cli.map_command import MapCommand
+
+    rng = np.random.default_rng(SEED + 40)
+    GEN = 4_600_000
+    genome = BASES[rng.integers(0, 4, GEN)]
+    gpath = "/tmp/bench_map_gb_ref.fasta"
+    with open(gpath, "w") as f:
+        f.write(">ref\n" + genome.tobytes().decode() + "\n")
+    n_reads = 61_000                       # ~0.5 GB at 8 kb reads
+    rpath = "/tmp/bench_map_gb_reads.fasta"
+    t0 = time.time()
+    nbytes = _make_genome_reads(rpath, genome, n_reads, 8000, 0.08,
+                                SEED + 41)
+    note(f"map_gb fasta: {nbytes / 1e9:.2f} GB, {n_reads} reads "
+         f"(gen/reuse {time.time() - t0:.0f}s)")
+    canary = link_canary()
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out_path = "/tmp/bench_map_gb.paf"
+    t1 = time.time()
+    _run_command(MapCommand, ["-input", rpath, "-reference", gpath,
+                              "-circular", "false"], out_path)
+    dt = time.time() - t1
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    n_out = sum(1 for _ in open(out_path))
+    mb_s = nbytes / dt / 1e6
+    note(f"map_gb: {dt:.1f}s wall (index+map+PAF), {n_out} PAF lines, "
+         f"peak_rss={rss:.1f}GB (delta {rss - rss0 / 1e6:.2f}GB)")
+    os.remove(out_path)
+    # anchor: the reference's flagship 1.5 GB / 6.7 s = 224 MB/s
+    emit("map_gb_mb_per_s", mb_s, "MB/s", mb_s / 224.0,
+         peak_rss_gb=rss, rss_delta_gb=rss - rss0 / 1e6, **canary)
+
+
+def bench_overlap_gb():
+    """Disk-to-disk all-vs-all overlap through the REAL overlap command
+    (full seed-budgeted round loop, consensus final check, PAF to a
+    file).  All-vs-all is O(rounds x whole-file reindex) by design — the
+    input is sized so the full job finishes in bench budget; MB/s is
+    whole-job wall over input bytes, same conservative 1 GB/min proxy
+    anchor as the in-memory metric."""
+    import resource
+    from downpore_tpu.cli.overlap_command import OverlapCommand
+
+    rng = np.random.default_rng(SEED + 50)
+    GEN = 2_000_000
+    genome = BASES[rng.integers(0, 4, GEN)]
+    n_reads = 12_000                       # ~0.1 GB at 8 kb reads
+    rpath = "/tmp/bench_ov_gb_reads.fasta"
+    t0 = time.time()
+    nbytes = _make_genome_reads(rpath, genome, n_reads, 8000, 0.05,
+                                SEED + 51)
+    note(f"overlap_gb fasta: {nbytes / 1e9:.2f} GB, {n_reads} reads "
+         f"(gen/reuse {time.time() - t0:.0f}s)")
+    canary = link_canary()
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out_path = "/tmp/bench_ov_gb.paf"
+    t1 = time.time()
+    _run_command(OverlapCommand, ["-input", rpath], out_path)
+    dt = time.time() - t1
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    n_out = sum(1 for _ in open(out_path))
+    mb_s = nbytes / dt / 1e6
+    note(f"overlap_gb: {dt:.1f}s wall (full job), {n_out} PAF lines, "
+         f"peak_rss={rss:.1f}GB (delta {rss - rss0 / 1e6:.2f}GB)")
+    os.remove(out_path)
+    emit("overlap_gb_mb_per_s", mb_s, "MB/s", mb_s / 16.7,
+         peak_rss_gb=rss, rss_delta_gb=rss - rss0 / 1e6, **canary)
 
 
 def main():
@@ -625,6 +783,7 @@ def main():
     note(f"backend={jax.default_backend()}")
     sections = [("map", bench_map), ("overlap", bench_overlap),
                 ("consensus", bench_consensus),
+                ("map_gb", bench_map_gb), ("overlap_gb", bench_overlap_gb),
                 ("trim_gb", bench_trim_gb), ("trim", bench_trim)]
     for name, fn in sections:
         t0 = time.time()

@@ -417,6 +417,25 @@ def _device_consensus_vmapped(seqs, lens, table, firsts, k, beam, t_max,
             ns.reshape(JP)[:J])
 
 
+def _use_pallas_beam(simple_k: int) -> bool:
+    """The fused Pallas kernel handles the arithmetic simple-k measures
+    (the production default); table measures stay on the XLA engine.
+    Env overrides: DOWNPORE_PALLAS_BEAM=0 forces the XLA engine,
+    =interpret runs the kernel interpreted (CPU testing)."""
+    import os
+    mode = os.environ.get("DOWNPORE_PALLAS_BEAM", "")
+    if mode == "0":
+        return False
+    if simple_k <= 0:
+        return False
+    if mode in ("1", "interpret"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
                          k: int, beam: int = 8, threshold: int = 300,
                          gap_cost: int = 8,
@@ -428,18 +447,25 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
     (measured equal kmer recall) at half the device cost — and the
     faithful host engine remains the arbiter of exact output.
 
-    Jobs are bucketed by padded shape (member count to a multiple of 4,
-    length to a multiple of 128) so distinct buckets reuse one compiled
-    executable each; within a bucket everything runs as one vmapped
-    dispatch.  Returns consensus k-mer arrays in job order (empty array
-    for empty jobs)."""
+    On TPU with a simple-k measure the fused Pallas kernel
+    (ops.pallas_beam) runs the whole scan on-core, bit-identical to the
+    XLA engine; otherwise the vmapped XLA scan runs.  Jobs are bucketed
+    by padded shape (member count, length to a multiple of 128) so
+    distinct buckets reuse one compiled executable each.  Returns
+    consensus k-mer arrays in job order (empty array for empty jobs)."""
+    import os
     table = np.asarray(table, np.uint16)
+    use_pallas = _use_pallas_beam(simple_k)
+    interpret = os.environ.get("DOWNPORE_PALLAS_BEAM", "") == "interpret"
+    if use_pallas:
+        from .pallas_beam import JB, PAD, W as BW, pallas_consensus
+    n_mult = 8 if use_pallas else 4
     buckets = {}
     for ji, job in enumerate(jobs):
         job = [s for s in job if len(s)]
         if not job:
             continue
-        N = ((len(job) + 3) // 4) * 4
+        N = ((len(job) + n_mult - 1) // n_mult) * n_mult
         L = max(len(s) for s in job)
         L = ((L + 127) // 128) * 128
         buckets.setdefault((N, L), []).append((ji, job))
@@ -448,16 +474,36 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
     # device_gets each pay a full link round trip on a tunnelled TPU
     inflight = []
     for (N, L), entries in sorted(buckets.items()):
-        seqs = np.empty((len(entries), N, L), np.int32)
-        lens = np.empty((len(entries), N), np.int32)
-        firsts = np.empty(len(entries), np.int32)
-        for i, (_, job) in enumerate(entries):
-            seqs[i], lens[i], firsts[i] = _pad_job(job, N, L)
+        nj = len(entries)
         t_max = int(L * 1.3) + 32
         t_max = ((t_max + 31) // 32) * 32
-        fut = _device_consensus_vmapped(seqs, lens, table, firsts, k,
-                                        beam, t_max, threshold, gap_cost,
-                                        simple_k)
+        # the fused kernel's per-cell VMEM (seq block + working arrays +
+        # record rows) must fit; oversized buckets take the XLA engine
+        vmem_est = (JB * N * (L + 2 * BW) * 4 + JB * beam * N * 640
+                    + t_max * 4 * JB * beam * 4) if use_pallas else 0
+        if use_pallas and vmem_est <= 12 * (1 << 20):
+            JP = ((nj + JB - 1) // JB) * JB
+            LP = (((L + 2 * BW) + 127) // 128) * 128
+            seqs = np.full((JP, N, LP), -1, np.int32)
+            lens = np.zeros((JP, N), np.int32)
+            firsts = np.zeros(JP, np.int32)
+            for i, (_, job) in enumerate(entries):
+                s, ln, f = _pad_job(job, N, L)
+                seqs[i, :, PAD:PAD + L] = s
+                lens[i] = ln
+                firsts[i] = f
+            fut = pallas_consensus(seqs, lens, firsts, k, beam, t_max,
+                                   threshold, gap_cost, simple_k,
+                                   interpret=interpret)
+        else:
+            seqs = np.empty((nj, N, L), np.int32)
+            lens = np.empty((nj, N), np.int32)
+            firsts = np.empty(nj, np.int32)
+            for i, (_, job) in enumerate(entries):
+                seqs[i], lens[i], firsts[i] = _pad_job(job, N, L)
+            fut = _device_consensus_vmapped(seqs, lens, table, firsts, k,
+                                            beam, t_max, threshold,
+                                            gap_cost, simple_k)
         inflight.append((entries, firsts, fut))
     fetched = jax.device_get([f for *_, f in inflight])
     for (entries, firsts, _), (chains, ns) in zip(inflight, fetched):

@@ -104,6 +104,24 @@ def test_bit_parity_deletion_drift():
                     128)
 
 
+def test_bulk_path_routes_through_pallas(monkeypatch):
+    """consensus_kmers_bulk with DOWNPORE_PALLAS_BEAM=interpret must give
+    the same consensus arrays as the XLA engine path."""
+    from downpore_tpu.ops.dtw import consensus_kmers_bulk
+    rng = np.random.default_rng(14)
+    jobs = make_jobs(rng, 5, 50, n_members=5, sub=0.05, ins=0.01,
+                     dele=0.01)
+    jobs.append([])  # empty job -> empty result
+    table = SimpleMeasure(K).pair_table()
+    monkeypatch.setenv("DOWNPORE_PALLAS_BEAM", "0")
+    ref = consensus_kmers_bulk(jobs, table, K, simple_k=K)
+    monkeypatch.setenv("DOWNPORE_PALLAS_BEAM", "interpret")
+    out = consensus_kmers_bulk(jobs, table, K, simple_k=K)
+    assert len(ref) == len(out)
+    for a, b in zip(ref, out):
+        assert np.array_equal(a, b)
+
+
 def test_bit_parity_mixed_member_counts():
     """Jobs with differing member counts inside one padded block, plus a
     padded (empty) job slot."""
