@@ -20,12 +20,29 @@ def kmer_occurrences(seqs: Iterable[Sequence], k: int) -> np.ndarray:
     """Dense k-mer counts over all sequences (uint64[4**k])."""
     size = 4 ** k
     counts = np.zeros(size, dtype=np.int64)
+    # block accumulation: one bincount per ~8M k-mers instead of one
+    # full-size bincount+add per read — a GB-scale read set at k=10 paid
+    # a fresh 4^k pass per read (tens of thousands of 8 MB traversals)
+    pend: list = []
+    pend_n = 0
+
+    def flush():
+        nonlocal pend, pend_n
+        if pend:
+            counts_part = np.bincount(
+                pend[0] if len(pend) == 1 else np.concatenate(pend),
+                minlength=size)
+            np.add(counts, counts_part, out=counts)
+            pend, pend_n = [], 0
+
     for seq in seqs:
         ks = seq.kmers(k)
         if ks.size:
-            # accumulate int64 and convert ONCE: a per-seq astype copied
-            # the full 4^k array each time (0.5 GB per pass at k=13)
-            counts += np.bincount(ks, minlength=size)
+            pend.append(ks)
+            pend_n += ks.size
+            if pend_n >= (1 << 23):
+                flush()
+    flush()
     return counts.astype(np.uint64)
 
 
@@ -37,29 +54,49 @@ def top_occurrences(counts: np.ndarray, k: int, top_n: int,
     # int64 internally: uint64 partition/compare paths are pathologically
     # slow in this numpy build (counts fit int64 by construction)
     merged = counts.astype(np.int64)
-    rc = _rc_table(k)
-    merged = merged + merged[rc]
+    np.add(merged, rc_permute(merged, k), out=merged)
     n = len(merged)
+    # value histogram + cumulative ranks: boundary values come from one
+    # bincount pass instead of np.partition, and only STRICTLY-interior
+    # elements are sorted — ties at the two boundary values (the k=13
+    # pathology: low counts tie across tens of millions of k-mers, and
+    # the old boundary-band stable argsort took ~45 s) are taken in
+    # index order directly, which IS the stable order among equal values.
+    hist = np.bincount(merged)
+    cum = np.cumsum(hist)              # cum[v] = #elements <= v
 
     def ranked_slice(lo_rank: int, m: int) -> np.ndarray:
-        """Indices at stable-ascending ranks [lo_rank, lo_rank + m) —
-        identical selection AND order to a full stable argsort, via an
-        O(n) partition + a small sort of the boundary value band (the
-        full 4^k argsort cost ~15 s at k=13)."""
         if m <= 0:
             return np.empty(0, np.int64)
         hi_rank = min(lo_rank + m - 1, n - 1)
-        vs = np.partition(merged, [lo_rank, hi_rank])
-        v_lo, v_hi = vs[lo_rank], vs[hi_rank]
-        cand = np.flatnonzero((merged >= v_lo) & (merged <= v_hi))
-        cand = cand[np.argsort(merged[cand], kind="stable")]
-        below = int((merged < v_lo).sum())
-        return cand[lo_rank - below : lo_rank - below + m]
+        v_lo = int(np.searchsorted(cum, lo_rank, side="right"))
+        v_hi = int(np.searchsorted(cum, hi_rank, side="right"))
+        below = int(cum[v_lo - 1]) if v_lo else 0
+        if v_lo == v_hi:
+            ties = np.flatnonzero(merged == v_lo)
+            return ties[lo_rank - below : lo_rank - below + m]
+        lo_ties = np.flatnonzero(merged == v_lo)[lo_rank - below:]
+        inner = np.flatnonzero((merged > v_lo) & (merged < v_hi))
+        inner = inner[np.argsort(merged[inner], kind="stable")]
+        need_hi = m - len(lo_ties) - len(inner)
+        hi_ties = np.flatnonzero(merged == v_hi)[:need_hi]
+        return np.concatenate([lo_ties, inner, hi_ties])
 
-    start = int((merged == 0).sum())  # first non-zero rank
+    start = int(hist[0])               # first non-zero rank
     if start > n - bottom_n:
         start = n - bottom_n
     return ranked_slice(start, bottom_n), ranked_slice(n - top_n, top_n)
+
+
+def rc_permute(arr: np.ndarray, k: int) -> np.ndarray:
+    """``arr[_rc_table(k)]`` without the table or the gather: the RC
+    permutation is a base-4 digit reversal plus per-digit complement,
+    i.e. the ``(4,)*k`` view with axes transposed (digit reversal) and
+    every axis reversed (complement).  One strided copy instead of a
+    4^k gather plus the table build (~15 s cold at k=13)."""
+    v = arr.reshape((4,) * k).transpose(tuple(reversed(range(k))))
+    v = v[(slice(None, None, -1),) * k]
+    return np.ascontiguousarray(v).reshape(-1)
 
 
 _RC_TABLES = {}
