@@ -72,9 +72,10 @@ _SIMPLE_WEIGHTS = {
 }
 
 
-def _seg_bcast(x, op, lane, seg: int, fill):
-    """Segment-local reduce of the last axis in `seg`-lane groups, result
-    broadcast across each segment (no lane reshapes)."""
+def _seg_suffix(x, op, lane, seg: int, fill):
+    """Suffix-reduce of the last axis within `seg`-lane groups: out[w] =
+    reduce of x[w..segment end] — the full segment reduction sits at each
+    segment's FIRST lane (no lane reshapes)."""
     w = lane % seg
     m = x
     sh = seg // 2
@@ -82,6 +83,14 @@ def _seg_bcast(x, op, lane, seg: int, fill):
         rolled = jnp.roll(m, -sh, axis=-1)
         m = op(m, jnp.where(w < seg - sh, rolled, fill))
         sh //= 2
+    return m
+
+
+def _seg_bcast(x, op, lane, seg: int, fill):
+    """Segment-local reduce of the last axis in `seg`-lane groups, result
+    broadcast across each segment (no lane reshapes)."""
+    w = lane % seg
+    m = _seg_suffix(x, op, lane, seg, fill)
     # m[w] = reduce of x[w..segend]; broadcast segment head to all lanes
     b = m
     sh = 1
@@ -94,6 +103,7 @@ def _seg_bcast(x, op, lane, seg: int, fill):
 
 def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             bands, positions, kmers, costs, quality, finished, baserow,
+            done_smem,
             *, k: int, beam: int, t_max: int, threshold: int,
             gap_cost: int, simple_k: int, LP: int, N: int):
     B = beam
@@ -159,12 +169,13 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
     # window bases are 128-aligned (Mosaic lane-dim dynamic slices must
     # be provably aligned); the 256-lane window gives off in [0, 224]
     baserow[...] = jnp.zeros((R, 1), jnp.int32)
+    # early-exit flag: the cell is done once every job has a finished
+    # beam.  Kept as an SMEM scalar updated INSIDE the body — computing
+    # the job reduction per step cost 5.35 us even for skipped steps
+    done_smem[0] = jnp.int32(0)
 
     def step(t, _):
-        job_has_fin = jobmax(finished[...])                # [R, 1]
-        alive = jnp.any(job_has_fin == 0)
-
-        @pl.when(alive)
+        @pl.when(done_smem[0] == 0)
         def _body():
             kmer = kmers[...]                              # [R, 1]
             poffs = bands[...]                             # [R, N, W]
@@ -236,8 +247,11 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             key = poffs * (2 * W) + (W - 1 - lane_w)
             bl = (W - 1) - jnp.min(key, axis=-1, keepdims=True) % (2 * W)
             ahead = w4 >= bl                               # [R, N, 4W]
+            # suffix-reduce only: every consumer reads segment-head lanes
+            # (w = 0 of each branch segment), so the broadcast-back pass
+            # is dead weight
             exact_l = ((ds == 0) & (out < full) & ahead).astype(jnp.int32)
-            exact_b = _seg_bcast(exact_l, jnp.maximum, lane4w, W, 0)
+            exact_b = _seg_suffix(exact_l, jnp.maximum, lane4w, W, 0)
             vote_w = jnp.floor(8.0 * q + 0.5)[..., None]   # [R, N, 1]
             votes = jnp.sum(
                 jnp.where((exact_b > 0) & (live_i > 0), vote_w, 0.0),
@@ -384,6 +398,8 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             costs[...] = selc_row
             quality[...] = new_q
             finished[...] = new_fin.astype(jnp.int32)
+            job_any_fin = jobmax(new_fin.astype(jnp.int32))
+            done_smem[0] = (jnp.min(job_any_fin) > 0).astype(jnp.int32)
 
             # next step's window base: min live frontier per job
             nxt_o = new_pos + 1 - CENTRE + PAD
@@ -444,6 +460,7 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
             pltpu.VMEM((R, N), jnp.float32),        # quality
             pltpu.VMEM((R, 1), jnp.int32),          # finished
             pltpu.VMEM((R, 1), jnp.int32),          # window bases
+            pltpu.SMEM((1,), jnp.int32),            # early-exit flag
         ],
         interpret=interpret,
     )(seqs.astype(jnp.int32), lens.astype(jnp.int32),
