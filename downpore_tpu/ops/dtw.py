@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 BIG = np.int32(1 << 28)
-FULL = 0xFFFF
+# dead-lane sentinel: any value > threshold + max distance works (bands
+# only ever hold {0..~threshold} or FULL).  0x7FFF rather than the
+# reference's uint16 0xFFFF so the Pallas engine can carry bands as
+# int16 — the two device engines stay bit-identical
+FULL = 0x7FFF
 
 
 def _argmin_last(x, axis=-1):

@@ -51,7 +51,7 @@ try:  # pragma: no cover - TPU-only module; CPU tests use interpret mode
 except ImportError:  # pragma: no cover
     pltpu = None
 
-FULL = 0xFFFF
+FULL = 0x7FFF               # shared with ops.dtw (int16-safe)
 BIG = np.int32(1 << 28)
 BAD_DS = BIG // 64          # the XLA engine's out-of-band distance
 W = 32                      # the reference band width (asm_amd64.s)
@@ -108,12 +108,17 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             gap_cost: int, simple_k: int, LP: int, N: int):
     B = beam
     R = JB * B
-    full = jnp.int32(FULL)
+    full = jnp.int16(FULL)
     mask_k = (1 << (2 * k)) - 1
 
     lane4w = jax.lax.broadcasted_iota(jnp.int32, (R, N, NBR * W), 2)
     w4 = lane4w % W
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, N, W), 2)
+
+    def sat16(x):
+        # int16 saturating clamp to FULL: operands are non-negative, so
+        # a wrapped overflow is detectable as a negative result
+        return jnp.where(x < 0, full, jnp.minimum(x, full))
     rb = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % B   # beam idx
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (R, NBR), 1)
     cand_idx = rb * NBR + lane_c                              # [R, 4]
@@ -156,9 +161,9 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
     s0 = seqs_ref[:, :, PAD:PAD + 1]                       # [JB, N, 1]
     match0 = jnp.repeat(
         (s0 == firsts_ref[:][..., None]).astype(jnp.int32), B, axis=0)
-    off0 = jnp.full((R, N, W), gap_cost, jnp.int32)
+    off0 = jnp.full((R, N, W), gap_cost, jnp.int16)
     off0 = jnp.where(lane_w < INIT, full, off0)
-    off0 = jnp.where((lane_w == INIT) & (match0 > 0), 0, off0)
+    off0 = jnp.where((lane_w == INIT) & (match0 > 0), jnp.int16(0), off0)
     bands[...] = off0
     positions[...] = jnp.full((R, N), INIT, jnp.int32)
     kmers[...] = firsts_r
@@ -207,11 +212,12 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             km_at = win[:, :, :W]                          # [R, N, W]
             km_bad = (km_at < 0) | (off_ok.astype(jnp.int32)[..., None] == 0)
 
-            # ---- distances, branch-decomposed ------------------------
-            shifted = (kmer << 2) & mask_k                 # [R, 1]
+            # ---- distances, branch-decomposed (int16) -----------------
+            shifted = (kmer << 2) & mask_k                 # [R, 1] int32
+            sh16 = shifted.astype(jnp.int16)
             kl = km_at & 3
             kh = (km_at ^ kl) & mask_k
-            d_hi = kh ^ shifted[..., None]                 # [R, N, W]
+            d_hi = kh ^ sh16[..., None]                    # [R, N, W]
             cost_hi = jnp.zeros_like(d_hi)
             w0 = 0
             for sh, wt in _SIMPLE_WEIGHTS[simple_k]:
@@ -219,55 +225,60 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
                     w0 = wt
                     continue
                 bit = ((d_hi >> sh) | (d_hi >> (sh + 1))) & 1
-                cost_hi = cost_hi + bit * wt
+                cost_hi = cost_hi + bit * jnp.int16(wt)
             ds_parts = []
             for c in range(NBR):
-                dc = cost_hi + w0 * (kl != c)
-                ds_parts.append(jnp.where(km_bad, BAD_DS, dc))
+                dc = cost_hi + jnp.int16(w0) * (kl != c).astype(jnp.int16)
+                # FULL as the dead-lane distance: poffs + FULL saturates
+                # to FULL through sat16, matching the XLA engine's
+                # BIG//64 (whose sums always clamp at FULL)
+                ds_parts.append(jnp.where(km_bad, full, dc))
             ds = jnp.concatenate(ds_parts, axis=-1)        # [R, N, 4W]
 
-            # ---- band update (branch-packed lanes) -------------------
-            sat = lambda x: jnp.minimum(x, full)
+            # ---- band update (branch-packed lanes, int16) -------------
             p4 = jnp.concatenate([poffs] * NBR, axis=-1)   # [R, N, 4W]
             stay = jnp.where(w4 == W - 1, full, jnp.roll(p4, -1, axis=2))
-            pd = sat(p4 + ds)
+            pd = sat16(p4 + ds)
             skip1 = jnp.where(w4 == 0, full, jnp.roll(pd, 1, axis=2))
-            ds_next = jnp.where(w4 == W - 1, BAD_DS,
+            ds_next = jnp.where(w4 == W - 1, full,
                                 jnp.roll(ds, -1, axis=2))
-            two = sat(pd + ds_next)
+            two = sat16(pd + ds_next)
             skip2 = jnp.where(w4 < 2, full, jnp.roll(two, 2, axis=2))
             best = jnp.minimum(jnp.minimum(p4, stay),
                                jnp.minimum(skip1, skip2))
-            raw = sat(best + ds)
-            m_b = _seg_bcast(raw, jnp.minimum, lane4w, W, full * 4)
+            raw = sat16(best + ds)
+            m_b = _seg_bcast(raw, jnp.minimum, lane4w, W, full)
             out = jnp.maximum(raw - m_b, 0)
             out = jnp.where(out >= threshold, full, out)
 
             # ---- votes ------------------------------------------------
-            key = poffs * (2 * W) + (W - 1 - lane_w)
+            key = poffs.astype(jnp.int32) * (2 * W) + (W - 1 - lane_w)
             bl = (W - 1) - jnp.min(key, axis=-1, keepdims=True) % (2 * W)
             ahead = w4 >= bl                               # [R, N, 4W]
             # suffix-reduce only: every consumer reads segment-head lanes
             # (w = 0 of each branch segment), so the broadcast-back pass
             # is dead weight
-            exact_l = ((ds == 0) & (out < full) & ahead).astype(jnp.int32)
-            exact_b = _seg_suffix(exact_l, jnp.maximum, lane4w, W, 0)
-            vote_w = jnp.floor(8.0 * q + 0.5)[..., None]   # [R, N, 1]
+            exact_l = ((ds == 0) & (out < full) & ahead).astype(jnp.int16)
+            exact_b = _seg_suffix(exact_l, jnp.maximum, lane4w,
+                                  W, jnp.int16(0))
+            vote_w = jnp.floor(8.0 * q + 0.5).astype(jnp.int16)[..., None]
             votes = jnp.sum(
-                jnp.where((exact_b > 0) & (live_i > 0), vote_w, 0.0),
-                axis=1)                                    # [R, 4W]
+                jnp.where((exact_b > 0) & (live_i > 0), vote_w,
+                          jnp.int16(0)),
+                axis=1, dtype=jnp.int16)                   # [R, 4W]
             seq_cost = jnp.sum(
-                jnp.where(live_i > 0, m_b, 0), axis=1)  # [R, 4W]
+                jnp.where(live_i > 0, m_b.astype(jnp.int32), 0), axis=1)
 
-            cand_b = cost0 + seq_cost                      # [R, 4W]
-            cand_b = jnp.where(votes > 0, cand_b, BIG)
-            lane2d = jax.lax.broadcasted_iota(
-                jnp.int32, (R, NBR * W), 1)
-            cand_b = jnp.where(finr,
-                               jnp.where(lane2d < W, cost0, BIG), cand_b)
-            # compress to one lane per branch
-            cc4 = jnp.concatenate(
-                [cand_b[:, c * W:c * W + 1] for c in range(NBR)], axis=1)
+            # candidate scalars: only each branch segment's head lane is
+            # meaningful — compress FIRST, gate/freeze in [R, 4]
+            sc4 = jnp.concatenate(
+                [seq_cost[:, c * W:c * W + 1] for c in range(NBR)], axis=1)
+            vt4 = jnp.concatenate(
+                [votes[:, c * W:c * W + 1] for c in range(NBR)], axis=1)
+            cc4 = cost0 + sc4                              # [R, 4] int32
+            cc4 = jnp.where(vt4 > 0, cc4, BIG)
+            cc4 = jnp.where(finr,
+                            jnp.where(lane_c == 0, cost0, BIG), cc4)
             nextk4 = jnp.concatenate(
                 [shifted | c for c in range(NBR)], axis=1)  # [R, 4]
             effk4 = jnp.where(finr, kmer, nextk4)
@@ -369,13 +380,13 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             new_q = jnp.where(fin_sel, q_sel, new_q)
 
             # ---- drift recentring ------------------------------------
-            key2 = new_off * (2 * W) + (W - 1 - lane_w)
+            key2 = new_off.astype(jnp.int32) * (2 * W) + (W - 1 - lane_w)
             bp = (W - 1) - jnp.min(key2, axis=-1) % (2 * W)  # [R, N]
             drift = CENTRE - bp
             do = (jnp.abs(drift) > 4) & ~fin_sel
             shift = jnp.where(do, drift, 0)                # [R, N]
             sh64 = jnp.concatenate(
-                [new_off, jnp.full((R, N, W), FULL, jnp.int32)], axis=-1)
+                [new_off, jnp.full((R, N, W), FULL, jnp.int16)], axis=-1)
             u = jnp.mod(shift, 64)[..., None]
             for bit in (32, 16, 8, 4, 2, 1):
                 sh64 = jnp.where((u & bit) != 0,
@@ -437,6 +448,7 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
     """
     J, N, LP = seqs.shape
     assert J % JB == 0 and LP % 128 == 0 and LP >= 256
+    assert k <= 7  # int16 k-mer lanes need 4^k < 2^15
     R = JB * beam
     grid = (J // JB,)
     kernel = functools.partial(
@@ -453,7 +465,7 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
         out_specs=pl.BlockSpec((1, t_max, 4 * R), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((J // JB, t_max, 4 * R), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((R, N, W), jnp.int32),       # bands
+            pltpu.VMEM((R, N, W), jnp.int16),       # bands
             pltpu.VMEM((R, N), jnp.int32),          # positions
             pltpu.VMEM((R, 1), jnp.int32),          # kmers
             pltpu.VMEM((R, 1), jnp.int32),          # costs
@@ -463,7 +475,7 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
             pltpu.SMEM((1,), jnp.int32),            # early-exit flag
         ],
         interpret=interpret,
-    )(seqs.astype(jnp.int32), lens.astype(jnp.int32),
+    )(seqs.astype(jnp.int16), lens.astype(jnp.int32),
       firsts.astype(jnp.int32).reshape(J, 1))
     return rec
 
