@@ -284,51 +284,72 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             effk4 = jnp.where(finr, kmer, nextk4)
 
             # ---- duplicate suppression (ref ops.dtw step) ------------
-            live_row = (~finr).astype(jnp.int32)
-            dup = jnp.zeros((R, NBR), jnp.int32)
+            # Small-state work runs TRANSPOSED — candidates as [4, R]
+            # (branch on sublanes, (job, beam) on lanes): each op costs
+            # one VPU instruction instead of the 8+ a lane-padded [R, 4]
+            # op costs, and within-job rolls become lane rolls.
+            ck_t = effk4.T                                 # [4, R]
+            cc_t = cc4.T
+            kmer_t = kmer.T                                # [1, R]
+            cost_t = cost0.T
+            fin_t = finr.astype(jnp.int32).T
+            lb = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1) % B
+            rowc = jax.lax.broadcasted_iota(jnp.int32, (NBR, R), 0)
+            ci_t = lb * NBR + rowc                         # [4, R]
+
+            def jroll_t(x, s):
+                if s % B == 0:
+                    return x
+                s = s % B
+                return jnp.where(lb < (B - s), jnp.roll(x, -s, axis=1),
+                                 jnp.roll(x, B - s, axis=1))
+
+            dup = jnp.zeros((NBR, R), jnp.int32)
             for d in range(B):
-                sk_d = jroll(kmer, d)
-                sc_d = jroll(cost0, d)
-                lv_d = jroll(live_row, d)
+                sk_d = jroll_t(kmer_t, d)
+                sc_d = jroll_t(cost_t, d)
+                pf_d = jroll_t(fin_t, d)
                 if d:  # dup vs live parent-generation slots (not own)
-                    dup = dup | ((effk4 == sk_d) & (sc_d <= cc4)
-                                 & (lv_d > 0)).astype(jnp.int32)
-                ck_d = jroll(effk4, d)
-                cc_d = jroll(cc4, d)
-                pf_d = jroll(finr.astype(jnp.int32), d)
-                base_i = ((rb + d) % B) * NBR
+                    dup = dup | ((ck_t == sk_d) & (sc_d <= cc_t)
+                                 & (pf_d == 0)).astype(jnp.int32)
+                ck_d = jroll_t(ck_t, d)
+                cc_d = jroll_t(cc_t, d)
+                base_i = ((lb + d) % B) * NBR
                 for dc in range(NBR):
                     if d == 0 and dc == 0:
                         continue
-                    ck2 = jnp.roll(ck_d, -dc, axis=1) if dc else ck_d
-                    cc2 = jnp.roll(cc_d, -dc, axis=1) if dc else cc_d
-                    idx2 = base_i + (lane_c + dc) % NBR
-                    better = (cc2 < cc4) | ((cc2 == cc4)
-                                            & (idx2 < cand_idx))
-                    dup = dup | ((effk4 == ck2) & better
+                    ck2 = jnp.roll(ck_d, -dc, axis=0) if dc else ck_d
+                    cc2 = jnp.roll(cc_d, -dc, axis=0) if dc else cc_d
+                    idx2 = base_i + (rowc + dc) % NBR
+                    better = (cc2 < cc_t) | ((cc2 == cc_t)
+                                             & (idx2 < ci_t))
+                    dup = dup | ((ck_t == ck2) & better
                                  & (pf_d == 0)).astype(jnp.int32)
-            dup = jnp.where(finr, 0, dup)
-            fcost = jnp.where(dup > 0, BIG, cc4)           # [R, 4]
+            dup = jnp.where(fin_t > 0, 0, dup)
+            fc = jnp.where(dup > 0, BIG, cc_t)             # [4, R]
 
             # ---- top-B (lowest cost, lowest index on ties) -----------
-            fc = fcost
-            sels, mns = [], []
-            for _ in range(B):
-                mn = jobmin(jnp.min(fc, axis=1, keepdims=True))
-                sel = jobmin(jnp.min(
-                    jnp.where(fc == mn, cand_idx, B * NBR), axis=1,
-                    keepdims=True))                        # [R, 1]
-                sels.append(sel)
-                mns.append(mn)
-                fc = jnp.where(cand_idx == sel, BIG + 1, fc)
-            sel_row = jnp.zeros((R, 1), jnp.int32)
-            selc_row = jnp.zeros((R, 1), jnp.int32)
+            def jobmin_t(x):
+                s = B // 2
+                while s:
+                    x = jnp.minimum(x, jroll_t(x, s))
+                    s //= 2
+                return x
+
+            sel_row_t = jnp.zeros((1, R), jnp.int32)
+            selc_row_t = jnp.zeros((1, R), jnp.int32)
             for i in range(B):
-                here = (rb == i).astype(jnp.int32)
-                sel_row = sel_row + here * sels[i]
-                selc_row = selc_row + here * mns[i]
-            parent_row = sel_row // NBR
-            branch_row = sel_row % NBR
+                mn = jobmin_t(jnp.min(fc, axis=0, keepdims=True))
+                sel = jobmin_t(jnp.min(
+                    jnp.where(fc == mn, ci_t, B * NBR), axis=0,
+                    keepdims=True))                        # [1, R]
+                here = (lb == i).astype(jnp.int32)
+                sel_row_t = sel_row_t + here * sel
+                selc_row_t = selc_row_t + here * mn
+                fc = jnp.where(ci_t == sel, BIG + 1, fc)
+            selc_row = selc_row_t.T                        # [R, 1]
+            parent_row = (sel_row_t // NBR).T
+            branch_row = (sel_row_t % NBR).T
 
             # ---- parent gather: masked select over the 8 deltas ------
             # (a per-row barrel roll does NOT compose here: the second
