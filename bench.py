@@ -506,11 +506,13 @@ def bench_consensus():
     elapsed, spread = best_of(one_run)
     total_bases = sum(len(o) + k - 1 for o in outs if len(o))
     bases_s = total_bases / elapsed
-    # device-traffic model: per output k-mer step, [jobs, beam(16),
-    # 4 successors, members, W=32] uint16 bands across ~6 array
-    # traversals (window fetch + band update + argmin reductions)
+    # device-traffic model: the fused Pallas engine keeps bands/windows
+    # VMEM-resident, so HBM traffic is just the padded member arrays in
+    # (int16) and the per-step record rows out (int32) — compute, not
+    # bandwidth, is the kernel's limit, so bw_util is small by design
     steps = max(1, int(np.mean([len(o) for o in outs if len(o)])))
-    model = steps * n_jobs * 16 * 4 * n_members * 32 * 2 * 6
+    L_pad = ((core_len + 127) // 128 + 1) * 128
+    model = n_jobs * 8 * L_pad * 2 + n_jobs * steps * 4 * 4 * 4
     bwc = bw_util(model, elapsed)
 
     # Baseline derived from the reference's own hot loop (no published
