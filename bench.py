@@ -787,6 +787,9 @@ def main():
                 ("consensus", bench_consensus),
                 ("map_gb", bench_map_gb), ("overlap_gb", bench_overlap_gb),
                 ("trim_gb", bench_trim_gb), ("trim", bench_trim)]
+    only = set(sys.argv[1:])
+    if only:
+        sections = [(n, f) for n, f in sections if n in only]
     for name, fn in sections:
         t0 = time.time()
         try:

@@ -34,6 +34,48 @@ BIG = np.int32(1 << 28)
 # int16 — the two device engines stay bit-identical
 FULL = 0x7FFF
 
+# Shared device-engine window schedule: both engines treat member lanes
+# outside [base(t), base(t) + WINW) of padded o-space as dead.  The base
+# is a STATIC function of the consensus step — the expected-position
+# regularizer (ref: alignment.go:308-331) holds live bands near
+# o = t + 25, and the 512-lane window covers o - t in [-294, +161] even
+# at the worst 128-alignment phase (the alignment is what the Pallas
+# kernel's VMEM slices need).  A min-frontier (state-dependent) base
+# was tried first and lost parity: one wandering dead member dragged
+# the base and silently killed healthy members.  384 lanes was tried
+# next and truncated consensus on routine 600-base pileups: its
+# worst-phase forward margin (+49) was inside the range deletion-heavy
+# members legitimately run ahead of the consensus step.
+WINW = 512
+# Device-engine expected-position slack: the host engine uses the
+# reference's +-16 (alignment.go:308-331) with landmark-updated
+# expectations; the device engines have no landmarks, so honest
+# systematic drift (members shorter/longer than the consensus)
+# accumulates against a STATIC expectation — +-64 tolerates it while
+# still pulling runaway dead members back inside the window
+REG_SLACK = 64
+
+
+def _win_params(L: int):
+    """(slice width, max base) of the static window for member arrays of
+    logical length ``L``: width min(WINW, padded length), base range
+    sized so base + width exactly reaches the padded end (lp >= L + 64,
+    so the max window always covers the finishing region o <= L + 31)."""
+    lp = ((L + 2 * 32 + 127) // 128) * 128
+    sw = min(WINW, lp)
+    hi = max(0, lp - sw)
+    return sw, hi
+
+
+def _win_base(t, L: int):
+    """128-aligned o-space window base at consensus step ``t`` for
+    member arrays of logical length ``L``, biased +64 forward of the
+    expected band position o = t + 25.  Clip BEFORE the floor division
+    so the operand is non-negative (negative int division semantics
+    differ between backends)."""
+    sw, hi = _win_params(L)
+    return (jnp.clip(t + 25 + 64 - sw // 2, 0, hi) // 128) * 128
+
 
 def _argmin_last(x, axis=-1):
     """Index of the minimum, ties broken toward the HIGHEST index.
@@ -126,11 +168,12 @@ def _barrel_shift(x, shift, fill):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "beam", "t_max", "threshold",
-                                    "gap_cost", "simple_k"))
+                                    "gap_cost", "simple_k",
+                                    "return_records"))
 def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
                      beam: int = 16, t_max: int = 256,
                      threshold: int = 300, gap_cost: int = 8,
-                     simple_k: int = 0):
+                     simple_k: int = 0, return_records: bool = False):
     """One consensus job on device.
 
     seq_kmers: [N, L] int32 (pad -1); lens: [N]; table: [4^k, 4^k] uint16
@@ -177,7 +220,7 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         "finished": jnp.zeros(beam, bool),
     }
 
-    def step(state, _):
+    def step(state, t):
         kmer = state["kmer"]
         shifted = (kmer << 2) & mask
         nextk = shifted[:, None] | jnp.arange(4)[None, :]      # [B, 4]
@@ -188,7 +231,11 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         # inside f32/bf16-split range, so the highest-precision matmul
         # reproduces the gather bit-for-bit)
         o = pos2 - centre + PAD                                # [B, N]
-        ov = (o >= 0) & (o < P0)
+        # static per-step window (shared with the Pallas kernel — see
+        # WINW above): lanes outside it are dead in BOTH engines
+        wb = _win_base(t, L)
+        sw, _ = _win_params(L)
+        ov = (o >= 0) & (o < P0) & (o - wb >= 0) & (o - wb <= sw - W)
         oq = o // G
         orr = o % G
         oh = jax.nn.one_hot(oq, Q, dtype=jnp.float32)          # [B, N, Q]
@@ -211,6 +258,14 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
         else:
             ds = table[nextk[:, :, None, None],
                        km_c[:, None]].astype(jnp.int32)
+        # expected-position regularizer (ref: alignment.go:308-331):
+        # lanes beyond +-REG_SLACK of the global expected position pay a
+        # linear penalty — the restoring force that keeps lost members
+        # from wandering out of the static window
+        lanepos = (pos2 - centre)[:, :, None] + jnp.arange(W)   # [B, N, W]
+        extra = jnp.maximum(
+            jnp.abs(lanepos - (INIT + 1 + t)) - REG_SLACK, 0)
+        ds = ds + extra[:, None]
         ds = jnp.where(km_bad[:, None], BIG // 64, ds)
         pos = jnp.broadcast_to(pos2[:, None, :], (beam, 4, N))
         poffs = jnp.broadcast_to(state["offsets"][:, None], (beam, 4, N, W))
@@ -315,9 +370,10 @@ def device_consensus(seq_kmers, lens, table, first_kmer, k: int,
     # over 64-step scan segments saved too few steps to cover its copy
     # overhead (a vmapped batch runs until its slowest job's first
     # finisher, typically ~90% of t_max at bench shapes).
-    final, (kmers, parents, fin_at, costs) = jax.lax.scan(
-        step, state, None, length=t_max)
-    chain, n_valid = _device_traceback(kmers, parents, fin_at, costs)
+    final, recs = jax.lax.scan(step, state, jnp.arange(t_max))
+    if return_records:
+        return recs
+    chain, n_valid = _device_traceback(*recs)
     return chain, n_valid
 
 
@@ -498,7 +554,7 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
                 lens[i] = ln
                 firsts[i] = f
             fut = pallas_consensus(seqs, lens, firsts, k, beam, t_max,
-                                   threshold, gap_cost, simple_k,
+                                   threshold, gap_cost, simple_k, L=L,
                                    interpret=interpret)
         else:
             seqs = np.empty((nj, N, L), np.int32)

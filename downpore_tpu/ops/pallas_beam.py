@@ -27,15 +27,13 @@ Layout notes (Mosaic restricts lane-dim reshapes/relayouts):
   gather) are within-job sublane rolls — a per-row barrel shift by
   (parent - row) replaces the XLA engine's gather.
 
-Differences vs the XLA engine, both bounded and tested:
-* the window fetch reads a 256-lane slice anchored at the job's
-  minimum live band frontier instead of the full sequence — lanes
-  further than ~224 positions ahead of the slowest member's frontier
-  are treated as out-of-band (divergence needs a >224-base within-job
-  alignment spread, far past anything the +/-16 band can track);
-* only the ``simple_k`` arithmetic measures run here (the production
-  default); table measures (nanopore model / confusion matrices) fall
-  back to the XLA engine.
+Differences vs the XLA engine: only the ``simple_k`` arithmetic
+measures run here (the production default); table measures (nanopore
+model / confusion matrices) fall back to the XLA engine.  The window
+rule itself (lanes outside the static per-step WINW window are dead,
+ops.dtw.WINW) is SHARED with the XLA engine, so the two stay
+bit-identical by construction; the expected-position regularizer
+(ref: alignment.go:308-331) keeps live bands inside that window.
 """
 from __future__ import annotations
 
@@ -45,6 +43,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from downpore_tpu.ops.dtw import (REG_SLACK, WINW, _win_base,
+                                  _win_params)
 
 try:  # pragma: no cover - TPU-only module; CPU tests use interpret mode
     from jax.experimental.pallas import tpu as pltpu
@@ -102,23 +103,23 @@ def _seg_bcast(x, op, lane, seg: int, fill):
 
 
 def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
-            bands, positions, kmers, costs, quality, finished, baserow,
+            bands, positions, kmers, costs, quality, finished,
             done_smem,
             *, k: int, beam: int, t_max: int, threshold: int,
-            gap_cost: int, simple_k: int, LP: int, N: int):
+            gap_cost: int, simple_k: int, LP: int, L: int, N: int):
     B = beam
     R = JB * B
-    full = jnp.int16(FULL)
+    full = jnp.int32(FULL)
     mask_k = (1 << (2 * k)) - 1
 
     lane4w = jax.lax.broadcasted_iota(jnp.int32, (R, N, NBR * W), 2)
     w4 = lane4w % W
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, N, W), 2)
 
-    def sat16(x):
-        # int16 saturating clamp to FULL: operands are non-negative, so
-        # a wrapped overflow is detectable as a negative result
-        return jnp.where(x < 0, full, jnp.minimum(x, full))
+    def sat(x):
+        # FULL-saturating clamp; operands are non-negative int32 bounded
+        # by 2*FULL, so a plain min suffices (no wrap possible)
+        return jnp.minimum(x, full)
     rb = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % B   # beam idx
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (R, NBR), 1)
     cand_idx = rb * NBR + lane_c                              # [R, 4]
@@ -134,14 +135,6 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
         cond = cond > 0
         return jnp.where(cond, jnp.roll(x, -s, axis=0),
                          jnp.roll(x, B - s, axis=0))
-
-    def jobmin(x):
-        """Min across a job's B rows, broadcast back to all of them."""
-        sh = B // 2
-        while sh:
-            x = jnp.minimum(x, jroll(x, sh))
-            sh //= 2
-        return x
 
     def jobmax(x):
         sh = B // 2
@@ -161,9 +154,9 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
     s0 = seqs_ref[:, :, PAD:PAD + 1]                       # [JB, N, 1]
     match0 = jnp.repeat(
         (s0 == firsts_ref[:][..., None]).astype(jnp.int32), B, axis=0)
-    off0 = jnp.full((R, N, W), gap_cost, jnp.int16)
+    off0 = jnp.full((R, N, W), gap_cost, jnp.int32)
     off0 = jnp.where(lane_w < INIT, full, off0)
-    off0 = jnp.where((lane_w == INIT) & (match0 > 0), jnp.int16(0), off0)
+    off0 = jnp.where((lane_w == INIT) & (match0 > 0), jnp.int32(0), off0)
     bands[...] = off0
     positions[...] = jnp.full((R, N), INIT, jnp.int32)
     kmers[...] = firsts_r
@@ -171,9 +164,6 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
     quality[...] = jnp.ones((R, N), jnp.float32)
     pad_r = ~jnp.repeat(jnp.any(live_m, axis=1, keepdims=True), B, axis=0)
     finished[...] = pad_r.astype(jnp.int32)
-    # window bases are 128-aligned (Mosaic lane-dim dynamic slices must
-    # be provably aligned); the 256-lane window gives off in [0, 224]
-    baserow[...] = jnp.zeros((R, 1), jnp.int32)
     # early-exit flag: the cell is done once every job has a finished
     # beam.  Kept as an SMEM scalar updated INSIDE the body — computing
     # the job reduction per step cost 5.35 us even for skipped steps
@@ -192,32 +182,35 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             pos2 = pos + 1
             o = pos2 - CENTRE + PAD                        # [R, N]
 
-            # ---- window fetch: one 256-lane slice per job ------------
-            win_parts = []
-            for j in range(JB):
-                st = pl.multiple_of(baserow[j * B, 0], 128)
-                win_parts.append(seqs_ref[j, :, pl.ds(st, 256)])
-            win_j = jnp.stack(win_parts, axis=0)           # [JB, N, 256]
-            win = jnp.repeat(win_j, B, axis=0)             # [R, N, 256]
-            off = o - baserow[...]                         # [R, N]
-            off_ok = (off >= 0) & (off <= 224) & (o >= 0) & (o < LP)
-            offc = jnp.clip(off, 0, 224)[..., None]
-            for bit in (128, 64, 32, 16, 8):
+            # ---- window fetch: ONE static SW-lane slice ----------------
+            # the base is a pure function of the step (see ops.dtw.WINW),
+            # identical across jobs — one aligned slice serves the cell
+            SW, _ = _win_params(L)
+            cap = SW - 32
+            wb = pl.multiple_of(_win_base(t, L), 128)
+            win_j = seqs_ref[:, :, pl.ds(wb, SW)]          # [JB, N, SW]
+            win = jnp.repeat(win_j, B, axis=0)             # [R, N, SW]
+            off = o - wb                                   # [R, N]
+            off_ok = (off >= 0) & (off <= cap) & (o >= 0) & (o < LP)
+            offc = jnp.clip(off, 0, cap)[..., None]
+            bit = 1 << (cap.bit_length() - 1)
+            while bit >= 8:
                 win = jnp.where((offc & bit) != 0,
                                 jnp.roll(win, -bit, axis=2), win)
+                bit >>= 1
             win = win[:, :, :48]
             for bit in (4, 2, 1):
                 win = jnp.where((offc & bit) != 0,
                                 jnp.roll(win, -bit, axis=2), win)
             km_at = win[:, :, :W]                          # [R, N, W]
-            km_bad = (km_at < 0) | (off_ok.astype(jnp.int32)[..., None] == 0)
+            km_bad = (km_at < 0) | (off_ok.astype(jnp.int32)[..., None]
+                                    == 0)                  # [R, N, W]
 
-            # ---- distances, branch-decomposed (int16) -----------------
+            # ---- distances, branch-decomposed --------------------------
             shifted = (kmer << 2) & mask_k                 # [R, 1] int32
-            sh16 = shifted.astype(jnp.int16)
             kl = km_at & 3
             kh = (km_at ^ kl) & mask_k
-            d_hi = kh ^ sh16[..., None]                    # [R, N, W]
+            d_hi = kh ^ shifted[..., None]                 # [R, N, W]
             cost_hi = jnp.zeros_like(d_hi)
             w0 = 0
             for sh, wt in _SIMPLE_WEIGHTS[simple_k]:
@@ -225,47 +218,52 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
                     w0 = wt
                     continue
                 bit = ((d_hi >> sh) | (d_hi >> (sh + 1))) & 1
-                cost_hi = cost_hi + bit * jnp.int16(wt)
+                cost_hi = cost_hi + bit * wt
+            # expected-position regularizer (ref: alignment.go:308-331),
+            # shared with the XLA engine: pulls lost members back toward
+            # the static window
+            lanepos = (o - PAD)[..., None] + lane_w        # [R, N, W]
+            extra = jnp.maximum(
+                jnp.abs(lanepos - (INIT + 1 + t)) - REG_SLACK, 0)
             ds_parts = []
             for c in range(NBR):
-                dc = cost_hi + jnp.int16(w0) * (kl != c).astype(jnp.int16)
+                dc = cost_hi + w0 * (kl != c).astype(jnp.int32) + extra
                 # FULL as the dead-lane distance: poffs + FULL saturates
-                # to FULL through sat16, matching the XLA engine's
+                # to FULL through sat, matching the XLA engine's
                 # BIG//64 (whose sums always clamp at FULL)
                 ds_parts.append(jnp.where(km_bad, full, dc))
             ds = jnp.concatenate(ds_parts, axis=-1)        # [R, N, 4W]
 
-            # ---- band update (branch-packed lanes, int16) -------------
+            # ---- band update (branch-packed lanes) ---------------------
             p4 = jnp.concatenate([poffs] * NBR, axis=-1)   # [R, N, 4W]
             stay = jnp.where(w4 == W - 1, full, jnp.roll(p4, -1, axis=2))
-            pd = sat16(p4 + ds)
+            pd = sat(p4 + ds)
             skip1 = jnp.where(w4 == 0, full, jnp.roll(pd, 1, axis=2))
             ds_next = jnp.where(w4 == W - 1, full,
                                 jnp.roll(ds, -1, axis=2))
-            two = sat16(pd + ds_next)
+            two = sat(pd + ds_next)
             skip2 = jnp.where(w4 < 2, full, jnp.roll(two, 2, axis=2))
             best = jnp.minimum(jnp.minimum(p4, stay),
                                jnp.minimum(skip1, skip2))
-            raw = sat16(best + ds)
-            m_b = _seg_bcast(raw, jnp.minimum, lane4w, W, full)
+            raw = sat(best + ds)
+            m_b = _seg_bcast(raw, jnp.minimum, w4, W, full)
             out = jnp.maximum(raw - m_b, 0)
             out = jnp.where(out >= threshold, full, out)
 
             # ---- votes ------------------------------------------------
-            key = poffs.astype(jnp.int32) * (2 * W) + (W - 1 - lane_w)
+            key = poffs * (2 * W) + (W - 1 - lane_w)
             bl = (W - 1) - jnp.min(key, axis=-1, keepdims=True) % (2 * W)
             ahead = w4 >= bl                               # [R, N, 4W]
             # suffix-reduce only: every consumer reads segment-head lanes
             # (w = 0 of each branch segment), so the broadcast-back pass
             # is dead weight
-            exact_l = ((ds == 0) & (out < full) & ahead).astype(jnp.int16)
-            exact_b = _seg_suffix(exact_l, jnp.maximum, lane4w,
-                                  W, jnp.int16(0))
-            vote_w = jnp.floor(8.0 * q + 0.5).astype(jnp.int16)[..., None]
+            exact_l = ((ds == 0) & (out < full) & ahead).astype(jnp.int32)
+            exact_b = _seg_suffix(exact_l, jnp.maximum, w4, W,
+                                  jnp.int32(0))
+            vote_w = jnp.floor(8.0 * q + 0.5).astype(jnp.int32)[..., None]
             votes = jnp.sum(
-                jnp.where((exact_b > 0) & (live_i > 0), vote_w,
-                          jnp.int16(0)),
-                axis=1, dtype=jnp.int16)                   # [R, 4W]
+                jnp.where((exact_b > 0) & (live_i > 0), vote_w, 0),
+                axis=1)                                    # [R, 4W]
             seq_cost = jnp.sum(
                 jnp.where(live_i > 0, m_b.astype(jnp.int32), 0), axis=1)
 
@@ -304,27 +302,29 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
                 return jnp.where(lb < (B - s), jnp.roll(x, -s, axis=1),
                                  jnp.roll(x, B - s, axis=1))
 
+            # live candidates carry their branch in the kmer's low 2 bits
+            # (nextk = shifted | c), so two live candidates can only
+            # collide on the SAME branch — cross-branch (dc != 0)
+            # comparisons are dead work (frozen candidates, whose kmers
+            # are arbitrary, are excluded from both sides by pf/fin
+            # masks exactly as in the XLA engine's eff_k rule)
             dup = jnp.zeros((NBR, R), jnp.int32)
             for d in range(B):
+                if d == 0:
+                    continue  # own parent (dup_beam) and same-parent
+                    # other branches (never kmer-equal live) both skip
                 sk_d = jroll_t(kmer_t, d)
                 sc_d = jroll_t(cost_t, d)
                 pf_d = jroll_t(fin_t, d)
-                if d:  # dup vs live parent-generation slots (not own)
-                    dup = dup | ((ck_t == sk_d) & (sc_d <= cc_t)
-                                 & (pf_d == 0)).astype(jnp.int32)
+                # dup vs live parent-generation slots (not own)
+                dup = dup | ((ck_t == sk_d) & (sc_d <= cc_t)
+                             & (pf_d == 0)).astype(jnp.int32)
                 ck_d = jroll_t(ck_t, d)
                 cc_d = jroll_t(cc_t, d)
-                base_i = ((lb + d) % B) * NBR
-                for dc in range(NBR):
-                    if d == 0 and dc == 0:
-                        continue
-                    ck2 = jnp.roll(ck_d, -dc, axis=0) if dc else ck_d
-                    cc2 = jnp.roll(cc_d, -dc, axis=0) if dc else cc_d
-                    idx2 = base_i + (rowc + dc) % NBR
-                    better = (cc2 < cc_t) | ((cc2 == cc_t)
-                                             & (idx2 < ci_t))
-                    dup = dup | ((ck_t == ck2) & better
-                                 & (pf_d == 0)).astype(jnp.int32)
+                idx2 = ((lb + d) % B) * NBR + rowc
+                better = (cc_d < cc_t) | ((cc_d == cc_t) & (idx2 < ci_t))
+                dup = dup | ((ck_t == ck_d) & better
+                             & (pf_d == 0)).astype(jnp.int32)
             dup = jnp.where(fin_t > 0, 0, dup)
             fc = jnp.where(dup > 0, BIG, cc_t)             # [4, R]
 
@@ -401,13 +401,13 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             new_q = jnp.where(fin_sel, q_sel, new_q)
 
             # ---- drift recentring ------------------------------------
-            key2 = new_off.astype(jnp.int32) * (2 * W) + (W - 1 - lane_w)
+            key2 = new_off * (2 * W) + (W - 1 - lane_w)
             bp = (W - 1) - jnp.min(key2, axis=-1) % (2 * W)  # [R, N]
             drift = CENTRE - bp
             do = (jnp.abs(drift) > 4) & ~fin_sel
             shift = jnp.where(do, drift, 0)                # [R, N]
             sh64 = jnp.concatenate(
-                [new_off, jnp.full((R, N, W), FULL, jnp.int16)], axis=-1)
+                [new_off, jnp.full((R, N, W), FULL, jnp.int32)], axis=-1)
             u = jnp.mod(shift, 64)[..., None]
             for bit in (32, 16, 8, 4, 2, 1):
                 sh64 = jnp.where((u & bit) != 0,
@@ -433,15 +433,6 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
             job_any_fin = jobmax(new_fin.astype(jnp.int32))
             done_smem[0] = (jnp.min(job_any_fin) > 0).astype(jnp.int32)
 
-            # next step's window base: min live frontier per job
-            nxt_o = new_pos + 1 - CENTRE + PAD
-            masked_o = jnp.where(live_r & ~new_fin, nxt_o,
-                                 jnp.int32(1 << 20))
-            pj = jobmin(jnp.min(masked_o, axis=1, keepdims=True))
-            keep = pj >= (1 << 19)
-            pj = jnp.clip((pj // 128) * 128, 0, LP - 256)
-            baserow[...] = jnp.where(keep, baserow[...], pj)
-
             # ---- record row ------------------------------------------
             rec_row = jnp.concatenate(
                 [new_kmer.T, parent_row.T,
@@ -456,10 +447,11 @@ def _kernel(seqs_ref, lens_ref, firsts_ref, rec_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "beam", "t_max", "threshold", "gap_cost",
-                              "simple_k", "interpret"))
+                              "simple_k", "L", "interpret"))
 def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
                              t_max: int, threshold: int, gap_cost: int,
-                             simple_k: int, interpret: bool = False):
+                             simple_k: int, L: int = 0,
+                             interpret: bool = False):
     """Run the fused beam scan for J jobs.
 
     seqs: [J, N, LP] int32 (PAD-fronted, -1-filled); lens [J, N] int32;
@@ -468,13 +460,16 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
     [kmer | parent | fin | cost] blocks of JB*beam (beam-minor).
     """
     J, N, LP = seqs.shape
-    assert J % JB == 0 and LP % 128 == 0 and LP >= 256
-    assert k <= 7  # int16 k-mer lanes need 4^k < 2^15
+    if not L:
+        L = LP - 128            # the bulk wrapper's padding convention
+    assert J % JB == 0 and LP % 128 == 0
+    assert _win_params(L)[0] <= LP
+    assert k <= 7  # k-mer values stay below the FULL sentinel
     R = JB * beam
     grid = (J // JB,)
     kernel = functools.partial(
         _kernel, k=k, beam=beam, t_max=t_max, threshold=threshold,
-        gap_cost=gap_cost, simple_k=simple_k, LP=LP, N=N)
+        gap_cost=gap_cost, simple_k=simple_k, LP=LP, L=L, N=N)
     rec = pl.pallas_call(
         kernel,
         grid=grid,
@@ -486,17 +481,16 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
         out_specs=pl.BlockSpec((1, t_max, 4 * R), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((J // JB, t_max, 4 * R), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((R, N, W), jnp.int16),       # bands
+            pltpu.VMEM((R, N, W), jnp.int32),       # bands
             pltpu.VMEM((R, N), jnp.int32),          # positions
             pltpu.VMEM((R, 1), jnp.int32),          # kmers
             pltpu.VMEM((R, 1), jnp.int32),          # costs
             pltpu.VMEM((R, N), jnp.float32),        # quality
             pltpu.VMEM((R, 1), jnp.int32),          # finished
-            pltpu.VMEM((R, 1), jnp.int32),          # window bases
             pltpu.SMEM((1,), jnp.int32),            # early-exit flag
         ],
         interpret=interpret,
-    )(seqs.astype(jnp.int16), lens.astype(jnp.int32),
+    )(seqs.astype(jnp.int32), lens.astype(jnp.int32),
       firsts.astype(jnp.int32).reshape(J, 1))
     return rec
 
@@ -522,10 +516,10 @@ def _records_to_chains(rec, beam: int):
 
 def pallas_consensus(seqs, lens, firsts, k: int, beam: int, t_max: int,
                      threshold: int, gap_cost: int, simple_k: int,
-                     interpret: bool = False):
+                     L: int = 0, interpret: bool = False):
     """Fused-kernel equivalent of ops.dtw._device_consensus_vmapped:
     returns (chains [J, t_max], n_valid [J]) for a JB-multiple batch."""
     rec = pallas_consensus_records(seqs, lens, firsts, k, beam, t_max,
-                                   threshold, gap_cost, simple_k,
+                                   threshold, gap_cost, simple_k, L=L,
                                    interpret=interpret)
     return _records_to_chains(rec, beam)
