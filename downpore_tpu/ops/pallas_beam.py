@@ -59,7 +59,7 @@ W = 32                      # the reference band width (asm_amd64.s)
 INIT = 8                    # initialOffset (ref: alignment.go:15)
 CENTRE = W // 2
 PAD = W                     # sequence pad, mirrors ops.dtw PAD
-JB = 16                     # jobs per grid cell
+JB = 32                     # jobs per grid cell
 NBR = 4                     # successor branches per beam state
 
 # (shift, weight) schedule of align.measures.build_simple_table
