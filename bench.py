@@ -93,6 +93,10 @@ def best_of(fn, n=2):
     return best, round((max(times) - best) / max(best, 1e-9), 3)
 
 
+RUNNING_JSON = os.environ.get("BENCH_RUNNING_JSON",
+                              "/tmp/bench_running.json")
+
+
 def emit(metric, value, unit, vs, **extra):
     row = {"metric": metric, "value": round(value, 1), "unit": unit,
            "vs_baseline": round(vs, 3)}
@@ -100,6 +104,13 @@ def emit(metric, value, unit, vs, **extra):
         row[kk] = round(vv, 3) if isinstance(vv, float) else vv
     print(json.dumps(row))
     sys.stdout.flush()
+    # running record: a suite timeout loses the section in flight, not
+    # every completed metric (VERDICT r04 weak #2)
+    try:
+        with open(RUNNING_JSON, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass
 
 
 def chain_dp_bytes(budget, nq):
@@ -380,12 +391,15 @@ def bench_overlap():
     counts = kmer_occurrences(reads, k)
     values = score_seed_values(counts, k)
 
+    shape_plan = {}
+
     def prep_round(first):
         """One round's host half (the CLI's prep_round): pass-2 query
         re-extraction runs concurrently with chunk indexing."""
         index = SeedIndex(k)
-        ov = Overlapper(index, 10000, 1000, 15, 0.25)
-        queries = ov.prepare_round(15, 10000, values,
+        ov = Overlapper(index, 10000, 1000, 15, 0.25,
+                        shape_plan=shape_plan)
+        queries = ov.prepare_round(15, 100000, values,
                                    iter(reads[first:]), QUERY_EDGES,
                                    iter(reads))
         if not queries:
@@ -783,13 +797,32 @@ def bench_overlap_gb():
 def main():
     t_setup = time.time()
     note(f"backend={jax.default_backend()}")
-    sections = [("map", bench_map), ("overlap", bench_overlap),
-                ("consensus", bench_consensus),
-                ("map_gb", bench_map_gb), ("overlap_gb", bench_overlap_gb),
-                ("trim_gb", bench_trim_gb), ("trim", bench_trim)]
+    # Headline metrics FIRST (trim, map, overlap, consensus), GB-scale
+    # disk-to-disk tails LAST — a driver-budget timeout then loses a
+    # tail section, never the headline evidence (VERDICT r04 weak #2:
+    # round 4 ran overlap_gb first, timed out, and lost every headline
+    # metric line).
+    sections = [("trim", bench_trim), ("map", bench_map),
+                ("overlap", bench_overlap), ("consensus", bench_consensus),
+                ("trim_gb", bench_trim_gb), ("map_gb", bench_map_gb),
+                ("overlap_gb", bench_overlap_gb)]
     only = set(sys.argv[1:])
     if only:
+        known = {n for n, _ in sections}
+        unknown = only - known
+        if unknown:  # a typo must not silently produce an empty run
+            note(f"ERROR: unknown section(s) {sorted(unknown)}; "
+                 f"known: {sorted(known)}")
+            sys.exit(2)
         sections = [(n, f) for n, f in sections if n in only]
+    try:
+        os.remove(RUNNING_JSON)
+    except OSError:
+        pass
+    # per-section wall budget: a runaway section (e.g. a cold-cache
+    # kernel pathology) must not eat the whole driver budget.  Sections
+    # check the deadline at safe points via _check_budget(); the GB
+    # tails also size their input to the remaining budget.
     for name, fn in sections:
         t0 = time.time()
         try:

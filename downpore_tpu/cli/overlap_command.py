@@ -17,12 +17,15 @@ class OverlapCommand(Command):
              "chunk_size", "query_batch_size", "min_hits", "num_workers",
              "input", "seed_values", "himem", "data_parallel",
              "checkpoint", "seed_shards"],
-            ["1000", "10", "15", "10000", "10000", "20000", "0.25", "4",
+            ["1000", "10", "15", "100000", "10000", "20000", "0.25", "4",
              "", "", "true", "false", "", "1"],
             ["Size of overlap to search for in bases",
              "Number of bases in each seed",
              "Minimum number of seeds to generate for each overlap query",
-             "Maximum total unique seeds to use in each query batch",
+             "Maximum total unique seeds to use in each query batch "
+             "(the reference defaults to 10000 to bound host RAM; TPU "
+             "HBM affords 10x, so the default here is 100000 — fewer, "
+             "bigger rounds mean fewer whole-file re-index passes)",
              "Size to chop long reads into for querying against, in bases",
              "Maximum number of queries per batch (if max seeds not reached)",
              "Minimum proportion of seeds that must match each query",
@@ -76,13 +79,18 @@ class OverlapCommand(Command):
                 round_no = int(progress.get("round", 0))
                 print(f"Resuming from round {round_no} "
                       f"(sequence {first_sequence}).", file=sys.stderr)
+        shape_plan = {}  # ONE compiled-shape plan for the whole job
+        # (nt/nq/mb/budget pinned monotone across rounds) — round-to-
+        # round shape drift otherwise recompiles the fused kernel
+
         def prep_round(first):
             """Host half of a round: fresh index, query prep, chunk
             indexing.  Independent of any earlier round's results, so it
             runs while the previous round's find is in flight."""
             index = SeedIndex(k)
             overlapper = Overlapper(index, chunk_size, overlap_size,
-                                    num_seeds, hit_fraction, mesh=mesh)
+                                    num_seeds, hit_fraction, mesh=mesh,
+                                    shape_plan=shape_plan)
             seqs = seq_set.get_n_sequences_from(first, query_batch_size)
             # query re-extraction and read chunk indexing overlap on a
             # worker thread after pass 1 freezes the seed set (prep is

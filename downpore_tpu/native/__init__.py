@@ -93,6 +93,10 @@ def load() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int32, ctypes.c_int32,
                                          ctypes.c_int32]
         L.band_update_rounds.restype = ctypes.c_int64
+        L.msa_consensus.argtypes = [i32p, i64p, ctypes.c_int64,
+                                    ctypes.c_int32, i32p, i32p, i32p,
+                                    i64p, i64p]
+        L.msa_consensus.restype = ctypes.c_int64
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -352,3 +356,46 @@ def band_update_rounds(ds: np.ndarray, bands: np.ndarray, threshold: int,
     n_bands, W = bands.shape
     return int(L.band_update_rounds(_ptr(ds), _ptr(bands), n_bands, W,
                                     threshold, reps))
+
+
+def msa_consensus(segments, k: int):
+    """Native seed-space MSA sweep (seqscan.cpp msa_consensus; the
+    reference multiAligner.Consensus, seeds/alignment.go:9-268).
+
+    ``segments``: per member, the REDUCED interleaved (gap, seed)
+    int32 segment array, or None for members the reduction dropped.
+    Returns ``(cons_segments, per_member_match_a, per_member_match_b)``
+    with match_b in REDUCED indices (the caller maps through its
+    seed_map), or None when the native library is unavailable.
+    Bit-identical to the Python sweep in seeds/msa.py by parity test."""
+    L = load()
+    if L is None:
+        return None
+    n = len(segments)
+    lens = np.fromiter(((len(s) if s is not None else 0)
+                        for s in segments), np.int64, n)
+    seg_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=seg_off[1:])
+    seg = np.empty(int(seg_off[-1]), np.int32)
+    for i, s in enumerate(segments):
+        if s is not None:
+            seg[seg_off[i] : seg_off[i + 1]] = s
+    # caps: the consensus emits at most one (gap, seed) pair per total
+    # input seed; each member matches at most once per own seed
+    total_seeds = int(sum(ln // 2 for ln in lens))
+    cons = np.empty(2 * total_seeds + 2, np.int32)
+    mcap = lens // 2
+    match_off = np.zeros(n + 1, np.int64)
+    np.cumsum(mcap, out=match_off[1:])
+    match_a = np.empty(int(match_off[-1]), np.int32)
+    match_b = np.empty(int(match_off[-1]), np.int32)
+    match_cnt = np.zeros(n, np.int64)
+    cons_len = int(L.msa_consensus(_ptr(seg), _ptr(seg_off), n, k,
+                                   _ptr(cons), _ptr(match_a),
+                                   _ptr(match_b), _ptr(match_off),
+                                   _ptr(match_cnt)))
+    out_a = [match_a[match_off[i] : match_off[i] + match_cnt[i]].copy()
+             for i in range(n)]
+    out_b = [match_b[match_off[i] : match_off[i] + match_cnt[i]].copy()
+             for i in range(n)]
+    return cons[:cons_len].copy(), out_a, out_b

@@ -394,15 +394,47 @@ def compact_indices(mask_flat, size: int):
     """First ``size`` indices of the set bits of ``mask_flat``,
     ascending, padded with ``len(mask_flat)`` past the count — the
     semantics of ``jnp.nonzero(size=..., fill_value=len)`` — plus the
-    total set-bit count.  cumsum + batched binary search: the scatter
-    XLA emits for nonzero measured 2.2x slower on TPU and was the
-    largest single op of the fused map kernel at genome-scale chunk
-    counts."""
-    csum = jnp.cumsum(mask_flat.astype(jnp.int32))
-    sel = jnp.searchsorted(csum,
-                           jnp.arange(1, size + 1, dtype=jnp.int32),
-                           side="left")
-    return sel, csum[-1]
+    total set-bit count.
+
+    Implementation notes (this backend's compile economics, measured
+    round 5): ``cumsum`` and ``searchsorted`` lowerings cost minutes of
+    one-time per-executable device compile on the tunnelled TPU, while
+    elementwise ops, log-depth shift-adds, and PROVABLY-BOUNDED
+    (clipped) scatters compile in seconds.  So the rank of every set
+    bit is computed as a two-level prefix sum (log-depth shift-adds
+    within 512-lane blocks, then across block totals) and the indices
+    land via one clipped scatter — identical outputs, ~100x cheaper
+    first-run."""
+    N = mask_flat.shape[0]
+    S = min(512, N)
+    G = (N + S - 1) // S
+    m = mask_flat.astype(jnp.int32)
+    if G * S != N:
+        m = jnp.concatenate([m, jnp.zeros(G * S - N, jnp.int32)])
+    m2 = m.reshape(G, S)
+    # inclusive prefix within each block: log-depth shift-adds
+    pre = m2
+    d = 1
+    while d < S:
+        pre = pre + jnp.pad(pre, ((0, 0), (d, 0)))[:, :S]
+        d *= 2
+    totals = pre[:, -1]                                   # [G]
+    # exclusive prefix across block totals, same trick
+    bt = totals
+    d = 1
+    while d < G:
+        bt = bt + jnp.pad(bt, (d, 0))[:G]
+        d *= 2
+    block_off = bt - totals                               # exclusive
+    n = bt[-1]
+    # global rank of each set position; clipped scatter of its index
+    rank = block_off[:, None] + pre - 1                   # [G, S]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 0) * S \
+        + jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    dest = jnp.where(m2 > 0, rank, size)                  # dead -> scratch
+    sel = jnp.full(size + 1, N, jnp.int32)
+    sel = sel.at[jnp.clip(dest.reshape(-1), 0, size)].set(idx.reshape(-1))
+    return sel[:size], n
 
 
 SUMMARY_SCALARS = ["best", "ident_cov_q", "earliest", "latest", "n_chains"]

@@ -117,7 +117,9 @@ def _count_rows(membership, buckets):
 
     def counts(b):
         live = b >= 0
-        rows = jnp.take(membership, jnp.clip(b, 0), axis=0)  # [m,R,C]
+        rows = jnp.take(membership,
+                        jnp.clip(b, 0, membership.shape[0] - 1),
+                        axis=0)  # [m,R,C]
         rows = jnp.where(live[:, :, None], rows, 0)
         # dtype= makes the reduce accumulate int32 from the int8 rows
         # directly — .astype(int32) first materialized a 4x-bytes copy
@@ -151,7 +153,9 @@ def _count_rows_pair(membership, rb, db):
     def counts2(args):
         b, first = args
         live = b >= 0
-        rows = jnp.take(membership, jnp.clip(b, 0), axis=0)  # [m,R,C]
+        rows = jnp.take(membership,
+                        jnp.clip(b, 0, membership.shape[0] - 1),
+                        axis=0)  # [m,R,C]
         rows = jnp.where(live[:, :, None], rows, 0)
         c = jnp.sum(rows, axis=1, dtype=jnp.int32)
         d = jnp.sum(jnp.where(first[:, :, None], rows, 0), axis=1,
@@ -194,7 +198,11 @@ def _derive_membership(t_seeds, H: int, hashed: bool):
     cols = jnp.broadcast_to(jnp.arange(CP, dtype=jnp.int32)[:, None],
                             (CP, nt))
     mem = jnp.zeros((H + 1, CP), jnp.int8)
-    mem = mem.at[rows.reshape(-1), cols.reshape(-1)].set(1)
+    # clip: PROVABLY-bounded scatter indices.  On the tunnelled TPU an
+    # unbounded scatter cost ~256 s of one-time per-executable device
+    # compile (measured round 5); the clipped form compiles in ~1 s.
+    mem = mem.at[jnp.clip(rows.reshape(-1), 0, H),
+                 jnp.clip(cols.reshape(-1), 0, CP - 1)].set(1)
     return mem[:H]
 
 
@@ -237,13 +245,23 @@ def _derive_buckets(q_seeds, usable, H: int, hashed: bool):
     Shipping seeds only (and deriving buckets here) halves the
     host->device transfer of every map dispatch."""
     M, nq = q_seeds.shape
+    UL = usable.shape[0]
     live = q_seeds >= 0
-    us = live & (jnp.take(usable, jnp.clip(q_seeds, 0)) > 0)
+    # every index clipped to a PROVEN bound — see _derive_membership
+    us = live & (jnp.take(usable, jnp.clip(q_seeds, 0, UL - 1)) > 0)
     idx = jnp.where(us, jnp.arange(nq, dtype=jnp.int32)[None, :], -1)
-    pa = jax.lax.cummax(idx, axis=1)
+    # running max as log-depth shift-maxes: the cumulative-op lowering
+    # (cumsum/cummax) costs minutes of one-time device compile on the
+    # tunnelled TPU backend; log-depth elementwise maxes compile fast
+    pa = idx
+    d = 1
+    while d < nq:
+        pa = jnp.maximum(pa, jnp.pad(pa, ((0, 0), (d, 0)),
+                                     constant_values=-1)[:, :nq])
+        d *= 2
     prev = jnp.concatenate(
         [jnp.full((M, 1), -1, pa.dtype), pa[:, :-1]], axis=1)
-    pv = jnp.take_along_axis(q_seeds, jnp.clip(prev, 0), axis=1)
+    pv = jnp.take_along_axis(q_seeds, jnp.clip(prev, 0, nq - 1), axis=1)
     pv = jnp.where(prev >= 0, pv, -2)
     run_start = us & (pv != q_seeds)
     if hashed:
@@ -334,7 +352,7 @@ def _map_from_counts(counts, dcounts, q_seeds, q_pos, min_count, base_min,
     cl = jnp.clip(sel, 0, M * C - 1)
     mi = jnp.where(live, cl // C, 0)
     ci = jnp.where(live, cl % C, 0)
-    dc = dcounts[mi, ci]
+    dc = dcounts[jnp.clip(mi, 0, M - 1), jnp.clip(ci, 0, C - 1)]
     return _chain_pack_tail(mi, ci, dc, live, n_ok, q_seeds, q_pos,
                             base_min, q_len, t_seeds, t_pos, k=k,
                             pair_budget=pair_budget, top_k=top_k,
@@ -348,15 +366,25 @@ def _chain_pack_tail(mi, ci, dc, live, n_ok, q_seeds, q_pos, base_min,
                      combine: bool):
     """Chain DP + summary packing over compacted (query, chunk) pairs —
     the shared tail of the flat and binned gates."""
-    mm = jnp.where(live, base_min[mi], jnp.int32(1 << 20))
+    M = q_seeds.shape[0]
+    C = t_seeds.shape[0]
+    mi_b = jnp.clip(mi, 0, M - 1)
+    mm = jnp.where(live, jnp.take(base_min, mi_b), jnp.int32(1 << 20))
 
     # chain DP on the selected pairs; anchors built in fixed chunks to
-    # bound the [chunk, NQ, NT] equality tensor
+    # bound the [chunk, NQ, NT] equality tensor.  All row selections are
+    # clipped takes (provably bounded — see _derive_membership).
     def build(args):
         mi_c, ci_c = args
-        return make_anchors_topk(q_seeds[mi_c], q_pos[mi_c],
-                                 t_seeds[ci_c].astype(jnp.int32),
-                                 t_pos[ci_c].astype(jnp.int32), per_seed=2)
+        mi_c = jnp.clip(mi_c, 0, M - 1)
+        ci_c = jnp.clip(ci_c, 0, C - 1)
+        return make_anchors_topk(jnp.take(q_seeds, mi_c, axis=0),
+                                 jnp.take(q_pos, mi_c, axis=0),
+                                 jnp.take(t_seeds, ci_c,
+                                          axis=0).astype(jnp.int32),
+                                 jnp.take(t_pos, ci_c,
+                                          axis=0).astype(jnp.int32),
+                                 per_seed=2)
 
     B = pair_budget
     CH = min(chunk, B)
@@ -369,7 +397,8 @@ def _chain_pack_tail(mi, ci, dc, live, n_ok, q_seeds, q_pos, base_min,
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
     out = dp_from_anchors(anchors, k, small=small)
-    packed = summarize_dp(out, mm, q_len[mi], k, top_k, lean=lean)
+    packed = summarize_dp(out, mm, jnp.take(q_len, mi_b), k, top_k,
+                          lean=lean)
     head = jnp.concatenate([
         jnp.where(live, mi, -1)[:, None], ci[:, None], dc[:, None]], axis=1)
     # summaries fit int16 for <=10 kb chunks (positions/coverage <= 11k;
@@ -481,7 +510,8 @@ def _derive_bin_mem_direct(t_seeds, H1: int, NB: int, CB: int,
     bins = jnp.broadcast_to(
         (jnp.arange(CP, dtype=jnp.int32) // CB)[:, None], (CP, nt))
     mem = jnp.zeros((H1 + 1, NB), jnp.int8)
-    mem = mem.at[rows.reshape(-1), bins.reshape(-1)].set(1)
+    mem = mem.at[jnp.clip(rows.reshape(-1), 0, H1),
+                 jnp.clip(bins.reshape(-1), 0, NB - 1)].set(1)
     return mem[:H1]
 
 
@@ -495,11 +525,14 @@ def _binned_counts_pair(flat, rb, first, topbin, NB: int, CB: int):
     M, R = rb.shape
     BB = topbin.shape[1]
 
+    HN = flat.shape[0]
+
     def counts2(args):
         b, fr, tb = args
         m = b.shape[0]
         live = b >= 0
         idx = jnp.clip(b, 0)[:, :, None] * NB + tb[:, None, :]  # [m,R,BB]
+        idx = jnp.clip(idx, 0, HN - 1)      # proven-bounded gather
         rows = jnp.take(flat, idx.reshape(m, R * BB),
                         axis=0).reshape(m, R, BB, CB)
         rows = jnp.where(live[:, :, None, None], rows, 0)
@@ -557,7 +590,7 @@ def _binned_gate(membership, bin_mem, q_rb, q_db, rb1, db1, min_count,
     # chunk is counted twice
     key = jnp.where(okb, c1, -1)
     _, topbin = jax.lax.top_k(key, BB)
-    topbin = topbin.astype(jnp.int32)
+    topbin = jnp.clip(topbin.astype(jnp.int32), 0, okb.shape[1] - 1)
     sel_live = jnp.take_along_axis(okb, topbin, axis=1)
     flat = membership.reshape(H * NB, CB)
     if aligned_db:
@@ -584,8 +617,11 @@ def _binned_gate(membership, bin_mem, q_rb, q_db, rb1, db1, min_count,
     rem = cl % (BB * CB)
     s_idx = rem // CB
     w = rem % CB
-    ci = jnp.where(live, topbin[mi, s_idx] * CB + w, 0)
-    dc = d2[mi, s_idx, w]
+    mi_b = jnp.clip(mi, 0, M - 1)
+    s_b = jnp.clip(s_idx, 0, BB - 1)
+    w_b = jnp.clip(w, 0, CB - 1)
+    ci = jnp.where(live, topbin[mi_b, s_b] * CB + w, 0)
+    dc = d2[mi_b, s_b, w_b]
     return mi, ci, dc, live, n_ok, n_bin
 
 
@@ -735,11 +771,18 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     mi = jnp.where(live, cl // C, 0)
     ci = jnp.where(live, cl % C, 0)
 
+    # clipped takes: provably-bounded gathers (see _derive_membership)
     def build(args):
         mi_c, ci_c = args
-        return make_anchors_topk(q_seeds[mi_c], q_pos[mi_c],
-                                 t_seeds[ci_c].astype(jnp.int32),
-                                 t_pos[ci_c].astype(jnp.int32), per_seed=2)
+        mi_c = jnp.clip(mi_c, 0, M - 1)
+        ci_c = jnp.clip(ci_c, 0, C - 1)
+        return make_anchors_topk(jnp.take(q_seeds, mi_c, axis=0),
+                                 jnp.take(q_pos, mi_c, axis=0),
+                                 jnp.take(t_seeds, ci_c,
+                                          axis=0).astype(jnp.int32),
+                                 jnp.take(t_pos, ci_c,
+                                          axis=0).astype(jnp.int32),
+                                 per_seed=2)
 
     B = pair_budget
     CH = min(chunk, B)
@@ -779,7 +822,8 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     cq = cq.T.astype(jnp.int16)      # [B, L], end -> start
     ct = ct.T.astype(jnp.int16)
     head = jnp.stack([jnp.where(live, mi, -1), ci, best_len,
-                      dcounts[mi, ci]], axis=1)
+                      dcounts[jnp.clip(mi, 0, M - 1),
+                              jnp.clip(ci, 0, C - 1)]], axis=1)
     # max live chain length: lets the collector slice the chains fetch
     # to [live rows, real length] (the full [budget, 2L] array is ~6 MB
     # per overlap round -- the dominant fetch on a slow link)
@@ -1406,7 +1450,7 @@ class MapEngine:
     def query_chains(self, seed_queries: List, base_min: np.ndarray,
                      pair_budget: int = 0, chain_len: int = 128,
                      variant: str = "aligner", min_sets: int = 5,
-                     _defer: bool = False):
+                     _defer: bool = False, shape_plan: dict = None):
         """Fused retrieval + gate + chain + best-chain extraction.
 
         Returns per query a list of (chunk idx, distinct count, best
@@ -1420,12 +1464,16 @@ class MapEngine:
         # the chain DP's sequential scan runs 2 * nq steps and the walk
         # chain_len steps — size both to the batch's real max seed count
         # (bucketed to limit compile variants) instead of the engine cap
+        plan = shape_plan if shape_plan is not None else {}
         max_ns = max((len(q.seeds) for q in seed_queries), default=1)
         # 64-grid (not 32): overlap rounds drift across the 64/96
-        # boundary round-to-round, and each width is a fresh multi-minute
-        # compile of the fused kernel on the TPU backend
+        # boundary round-to-round, and each width is a fresh executable
+        # compile on the TPU backend; the job's shape plan pins it
+        # monotone across rounds
         nq_eff = min(self.nq,
                      max(32, ((min(max_ns, self.nq) + 63) // 64) * 64))
+        nq_eff = min(self.nq, max(nq_eff, plan.get("nq", 0)))
+        plan["nq"] = nq_eff
         # when every query's seeds fit the width, buckets are derived on
         # device — skip building them on host entirely
         derive = not self.seed_sharded and max_ns <= nq_eff
@@ -1437,7 +1485,8 @@ class MapEngine:
         chain_len = min(chain_len, nq_eff)
         min_count = (self.hit_fraction * num_sets + 0.5).astype(np.int64)
         min_count[num_sets < min_sets] = 0
-        MB = _bucket(M)
+        MB = max(_bucket(M), plan.get("mb", 0))
+        plan["mb"] = MB
         if self.mesh is not None:
             D = self.mesh.shape["data"]
             MB = ((MB + D - 1) // D) * D
@@ -1453,10 +1502,17 @@ class MapEngine:
             # dataset sees ~11/query); 16/query avoids the 4x-escalation
             # re-run that doubled round wall-clock at default coverage.
             # Sized to the REAL query count (budget drives the chain-DP
-            # cost), bucketed to a 4096 grid for compile-cache reuse.
+            # cost), bucketed to a 4096 grid for compile-cache reuse,
+            # and pinned monotone by the job's shape plan.
             pair_budget = max(4096, ((16 * M + 4095) // 4096) * 4096)
+            pair_budget = max(pair_budget, plan.get("budget", 0))
+            plan["budget"] = pair_budget
 
         small = self._t_small and int(q_pos.max(initial=0)) < 16000
+        # anchor-build chunk sized so the [CH, nq, nt] equality tensor
+        # stays ~256 MB as nt ladders up (static per (nq, nt) pair)
+        a_chunk = max(128, min(1024,
+                               (1 << 28) // max(1, nq_eff * self.nt)))
 
         # on-device bucket derivation when every query's full seed list
         # fits the shipped width (same guard as dispatch_packed): drops
@@ -1486,7 +1542,7 @@ class MapEngine:
                 return _fused_overlap_d(
                     a_dev, s_dev, self.usable_dev, self.membership,
                     self.t_seeds, self.t_pos, k=self.k,
-                    pair_budget=budget, variant=variant, chunk=1024,
+                    pair_budget=budget, variant=variant, chunk=a_chunk,
                     chain_len=chain_len, small=small, nq=nq_eff,
                     hashed=self._hashed)
         else:
@@ -1504,12 +1560,12 @@ class MapEngine:
                     return _overlap_from_counts(
                         counts, dcounts, args[0], args[1], args[4],
                         args[5], self.t_seeds, self.t_pos, k=self.k,
-                        pair_budget=budget, variant=variant, chunk=1024,
+                        pair_budget=budget, variant=variant, chunk=a_chunk,
                         chain_len=chain_len, small=small)
                 return _fused_overlap(*args, self.membership,
                                       self.t_seeds, self.t_pos, k=self.k,
                                       pair_budget=budget, variant=variant,
-                                      chunk=1024, chain_len=chain_len,
+                                      chunk=a_chunk, chain_len=chain_len,
                                       small=small)
 
         fut = call(pair_budget)
@@ -1539,13 +1595,14 @@ class MapEngine:
 
     def dispatch_chains(self, seed_queries: List, base_min: np.ndarray,
                         pair_budget: int = 0, chain_len: int = 128,
-                        variant: str = "aligner", min_sets: int = 5):
+                        variant: str = "aligner", min_sets: int = 5,
+                        shape_plan: dict = None):
         """Async half of ``query_chains``: enqueue the fused dispatch and
         return a future tuple for ``collect_chains`` — callers overlap
         host work (e.g. the next round's query prep) with the device."""
         return self.query_chains(seed_queries, base_min, pair_budget,
                                  chain_len, variant, min_sets,
-                                 _defer=True)
+                                 _defer=True, shape_plan=shape_plan)
 
     def collect_chains(self, futs):
         """Blocking half of ``query_chains``.

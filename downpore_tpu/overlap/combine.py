@@ -48,21 +48,24 @@ def trim_to_best_seed(upto: int, ms: List[SeedMatch], min_match: int,
     back_count = back_score = 0
     length = ms[0].seq_a.num_seeds
     back_index = length - upto - 1
-    for i in range(upto):
-        count = 0
-        b_count = 0
+    # support histograms, vectorized: the scalar walk counts, per anchor
+    # i, the matches whose (strictly ascending) match_a contains i —
+    # i.e. a presence histogram.  The back walk iterates j down to 1
+    # EXCLUSIVE of 0, so each match's first entry never contributes to
+    # back support (faithful to the reference, overlap/combine.go:21-60).
+    if upto > 0:
+        front_hist = np.zeros(upto, np.int64)
+        back_hist = np.zeros(upto, np.int64)
         for match in ms:
-            for index in match.match_a:
-                if index == i:
-                    count += 1
-                if index >= i:
-                    break
-            for j in range(len(match.match_a) - 1, 0, -1):
-                index = match.match_a[j]
-                if index == length - 1 - i:
-                    b_count += 1
-                if index <= length - 1 - i:
-                    break
+            ma = np.asarray(match.match_a)
+            f = ma[ma < upto]
+            front_hist[f] += 1
+            b = (length - 1) - ma[1:]
+            b = b[(b >= 0) & (b < upto)]
+            back_hist[b] += 1
+    for i in range(upto):
+        count = int(front_hist[i])
+        b_count = int(back_hist[i])
         if count - i >= best_score or (best_count < min_match
                                        and count >= min_match):
             best_count = count

@@ -42,7 +42,8 @@ class SeedQuery:
 
 class Overlapper:
     def __init__(self, index: SeedIndex, chunk_size: int, overlap: int,
-                 min_seeds: int, hit_fraction: float, mesh=None):
+                 min_seeds: int, hit_fraction: float, mesh=None,
+                 shape_plan: Optional[dict] = None):
         self.index = index
         self.chunk_size = chunk_size
         self.overlap = overlap
@@ -50,6 +51,13 @@ class Overlapper:
         self.hit_fraction = hit_fraction
         self.mesh = mesh  # optional jax Mesh with a "data" axis: query
         # rows and chain pairs shard across it, the index replicates
+        # per-JOB compiled-shape plan (VERDICT r04 ask #1): rounds drift
+        # in max chunk seeds / query count, and every drifted shape is a
+        # fresh executable whose one-time compile dwarfs the round's
+        # device time on the tunnelled TPU.  The driver passes ONE dict
+        # for the whole job; pinned dims only ever grow (monotone), so
+        # after round 1 every later round reuses the same executables.
+        self.shape_plan = shape_plan if shape_plan is not None else {}
 
     # -- query preparation ---------------------------------------------
     def _query_subsequences(self, seqs: Iterable[Sequence], query_type: int,
@@ -259,11 +267,18 @@ class Overlapper:
         # shorter than chunk_size index as ONE chunk carrying all their
         # seeds (ref chunkWorker, overlap/overlap.go:255-259), so a fixed
         # cap would silently drop tail anchors of mid-length reads.
-        # Bucketed to a 128 grid so round-to-round drift in the max seed
-        # count doesn't force a fresh XLA compile each round.
+        # Snapped to a LADDER {256, 512, 1024, 2048} and pinned monotone
+        # in the job's shape plan: a 128 grid still drifted round-to-
+        # round (512 -> 384 -> ...) and every drifted width was a fresh
+        # multi-second (cold: multi-minute) executable compile.
+        plan = self.shape_plan
         max_ts = max((s.num_seeds for s in self.index.sequences),
                      default=1)
-        nt = min(2048, ((max_ts + 127) // 128) * 128)
+        nt = 256
+        while nt < max_ts and nt < 4096:
+            nt *= 2
+        nt = max(nt, plan.get("nt", 0))
+        plan["nt"] = nt
         if max_ts > nt:
             import sys
             print(f"overlap: {max_ts}-seed chunks truncated to {nt} "
@@ -275,7 +290,7 @@ class Overlapper:
             [int(self.hit_fraction * q.query.num_seeds + 0.5)
              for q in queries], np.int32)
         return eng, eng.dispatch_chains([q.query for q in queries],
-                                        base_min)
+                                        base_min, shape_plan=plan)
 
     def collect_find(self, queries: List[SeedQuery],
                      futs) -> List[SeedMatch]:

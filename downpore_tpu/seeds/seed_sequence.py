@@ -23,7 +23,7 @@ from ..core.sequence import kmer_reverse_complement
 
 class SeedSequence:
     __slots__ = ("gaps", "seeds", "id", "name", "length", "offset", "inset",
-                 "rc", "parent", "_rc_cache")
+                 "rc", "parent", "_rc_cache", "_pos_cache")
 
     def __init__(self, gaps: np.ndarray, seeds: np.ndarray, id: int = -1,
                  name: Optional[str] = None, length: int = 0,
@@ -40,6 +40,7 @@ class SeedSequence:
         self.rc = rc
         self.parent = parent
         self._rc_cache = None
+        self._pos_cache = None
 
     # -- construction helpers ----------------------------------------
     @classmethod
@@ -72,12 +73,20 @@ class SeedSequence:
     # -- coordinate algebra ------------------------------------------
     def seed_positions(self, k: int) -> np.ndarray:
         """Base offset of the start of each seed within this sequence
-        (vectorized GetSeedOffset, ref: seeds/sequence.go:1239)."""
+        (vectorized GetSeedOffset, ref: seeds/sequence.go:1239).  Cached
+        per k (callers treat the result as read-only; the consensus
+        final check calls this ~3x per match)."""
+        c = self._pos_cache
+        if c is not None and c[0] == k:
+            return c[1]
         if self.num_seeds == 0:
-            return np.empty(0, dtype=np.int64)
-        steps = self.gaps[:-1].astype(np.int64)
-        steps[1:] += k
-        return np.cumsum(steps)
+            pos = np.empty(0, dtype=np.int64)
+        else:
+            steps = self.gaps[:-1].astype(np.int64)
+            steps[1:] += k
+            pos = np.cumsum(steps)
+        self._pos_cache = (k, pos)
+        return pos
 
     def seed_offset(self, index: int, k: int) -> int:
         """Bases before the start of seed ``index``."""
@@ -127,6 +136,7 @@ class SeedSequence:
         gaps[0] = start_offset
         gaps[-1] = end_offset
         t.gaps = gaps
+        t._pos_cache = None
         return t, start_seed
 
     def reduced(self, whitelist: np.ndarray, k: int, min_seeds: int,
@@ -143,26 +153,24 @@ class SeedSequence:
         if n == 0:
             return None, None
         seeds = self.seeds
-        keep = whitelist[seeds].copy()
-        # drop consecutive duplicates among kept seeds: a kept seed equal to
-        # the previous *kept* seed is dropped.  Because duplicates are only
-        # dropped when adjacent among survivors and survivors all pass the
-        # whitelist, this equals: kept[i] and not (kept[i-1] and equal run).
-        prev = -1
-        idx_list = []
-        for i in range(n):
-            if keep[i] and seeds[i] != prev:
-                idx_list.append(i)
-                prev = seeds[i]
-            elif keep[i]:
-                keep[i] = False
-            else:
-                # a non-whitelisted seed does NOT reset prev in the
-                # reference (prev tracks last *kept* seed only)
-                pass
-        if len(idx_list) < min_seeds:
+        keep = whitelist[seeds]
+        # drop consecutive duplicates among kept seeds: a kept seed equal
+        # to the previous *kept* seed is dropped (a non-whitelisted seed
+        # does NOT reset the run in the reference).  Vectorized: among
+        # the kept positions, drop those equal to their kept predecessor
+        # — runs collapse to their first element exactly as the scalar
+        # walk does.
+        ki = np.flatnonzero(keep)
+        if ki.shape[0]:
+            ks = seeds[ki]
+            first = np.empty(ki.shape[0], dtype=bool)
+            first[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=first[1:])
+            idx = ki[first]
+        else:
+            idx = ki
+        if idx.shape[0] < min_seeds:
             return None, None
-        idx = np.asarray(idx_list, dtype=np.int64)
         pos = self.seed_positions(k)
         new_seeds = seeds[idx]
         new_gaps = np.empty(idx.shape[0] + 1, dtype=np.int32)
@@ -194,6 +202,7 @@ class SeedSequence:
         """Add bases before the first seed (ref: seeds/sequence.go:166)."""
         self.gaps = self.gaps.copy()
         self.gaps[0] += bases
+        self._pos_cache = None
         if self.rc:
             self.inset -= bases
         else:
@@ -202,6 +211,7 @@ class SeedSequence:
     def extend(self, bases: int):
         self.gaps = self.gaps.copy()
         self.gaps[-1] += bases
+        self._pos_cache = None
         if self.rc:
             self.inset -= bases
         else:
@@ -266,13 +276,10 @@ class SeedMatch:
         count_b = count_a
         pos_a = self.seq_a.seed_positions(k)
         pos_b = self.seq_b.seed_positions(k)
-        for i in range(1, len(self.match_a)):
-            d1 = int(pos_a[self.match_a[i]] - pos_a[self.match_a[i - 1]]) - k
-            d2 = int(pos_b[self.match_b[i]] - pos_b[self.match_b[i - 1]]) - k
-            if d1 < 0:
-                count_a += d1
-            if d2 < 0:
-                count_b += d2
+        d1 = np.diff(pos_a[self.match_a]) - k
+        d2 = np.diff(pos_b[self.match_b]) - k
+        count_a += int(d1[d1 < 0].sum())
+        count_b += int(d2[d2 < 0].sum())
         return count_a, count_b
 
     def get_a_indices(self, k: int) -> Tuple[int, int]:
@@ -308,7 +315,59 @@ class SeedMatch:
     def get_base_index(self, a_index: int, k: int):
         """Locate position ``a_index`` (a seed index in A) within B: returns
         (b_seed_index, bases_after, distance) (ref: seeds/sequence.go:1190).
-        """
+
+        Closed-form over the cached ``seed_positions`` arrays (bisect
+        instead of the reference's per-gap walks); bit-identical to
+        ``get_base_index_scalar`` by fuzz test — the scalar walk is the
+        oracle.  ~3x of the overlap final check's host time was these
+        walks."""
+        import bisect
+        sa = self.seq_a
+        sb = self.seq_b
+        ma = self.match_a
+        mb = self.match_b
+        pos_a = sa.seed_positions(k)
+        pos_b = sb.seed_positions(k)
+        before = bisect.bisect_right(ma, a_index)
+        if before == 0:
+            b0 = mb[0]
+            offset = int(pos_a[ma[0]] - pos_a[a_index])
+            # backward walk: stops at the largest j <= b0 with
+            # pos_b[j] <= pos_b[b0] - offset, or at 0
+            target = int(pos_b[b0]) - offset
+            j = bisect.bisect_right(pos_b, target, 0, b0 + 1) - 1
+            if j < 0:
+                j = 0
+            rem = offset - (int(pos_b[b0]) - int(pos_b[j]))
+            distance = int(pos_b[b0]) - int(pos_b[j])
+            if j == 0:
+                return 0, -rem, distance + rem
+            return j, -rem, distance
+        before -= 1
+        b_index = mb[before]
+        if a_index == ma[before]:
+            return b_index, 0, 0
+        offset = int(pos_a[a_index] - pos_a[ma[before]])
+        n = sb.num_seeds
+        # walk forward while offset covers the next gap: advances through
+        # every seed j with pos_b[j] <= pos_b[b0] + offset + k
+        limit = int(pos_b[b_index]) + offset + k
+        j = bisect.bisect_right(pos_b, limit, b_index + 1, n) - 1
+        j = max(j, b_index)
+        consumed = int(pos_b[j]) - int(pos_b[b_index])
+        rem = offset - consumed
+        distance = consumed
+        if j == n - 1 and rem >= int(sb.gaps[n]):
+            # the reference walks the trailing gap too (segments 2n)
+            g = int(sb.gaps[n]) + k
+            rem -= g
+            distance += g
+            return n - 1, rem, distance + rem
+        return j, rem, distance + rem
+
+    def get_base_index_scalar(self, a_index: int, k: int):
+        """Scalar-walk oracle for ``get_base_index`` (the reference's
+        loop, ref: seeds/sequence.go:1190)."""
         sa = self.seq_a
         sb = self.seq_b
         before = 0

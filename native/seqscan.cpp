@@ -542,3 +542,218 @@ extern "C" int64_t band_update_rounds(const uint16_t* ds, uint16_t* bands,
     }
     return sink;
 }
+
+// ---------------------------------------------------------------------
+// Seed-space MSA sweep (the reference multiAligner.Consensus,
+// seeds/alignment.go:9-268) — exact transcription of the Python oracle
+// downpore_tpu/seeds/msa.py::consensus's while loop, operating on the
+// already-reduced member segments.  One call replaces the overlap
+// command's hottest host loop (~75 ms of pure Python per final check).
+//
+// Inputs: n members; seg = concat of interleaved (gap, seed)*m+gap
+// int32 segment arrays, seg_off[n+1] offsets (an empty member —
+// reduced() returned None — has seg_off[i+1]==seg_off[i]).
+// Outputs: cons (caller-sized to total seeds*2+2), match_a/match_b flat
+// per-member matched pairs with match_cnt[i] entries for member i,
+// capped at each member's reduced length (positions advance strictly).
+// Returns the number of int32s written to cons (gaps+seeds,
+// WITHOUT the trailing 0 gap the Python appends after the loop).
+namespace {
+static inline int32_t trunc_div(int64_t a, int64_t b) {
+    // C++ integer division already truncates toward zero
+    return (int32_t)(a / b);
+}
+static inline void gap_range(int32_t gap, int32_t k, int32_t* lo,
+                             int32_t* hi) {
+    int32_t min_gap = trunc_div((int64_t)gap * 2, 3) - k;
+    int32_t max_gap = trunc_div((int64_t)gap * 3, 2) + k + 1;
+    if (min_gap < 0) {
+        min_gap = -k;
+        if (max_gap < 0) max_gap = 0;
+    } else if (max_gap < 20) {
+        max_gap = 20;
+        min_gap = 0;
+    }
+    *lo = min_gap;
+    *hi = max_gap;
+}
+static inline int32_t floor_div_i32(int32_t a, int32_t b) {
+    int32_t q = a / b;
+    if ((a % b != 0) && ((a < 0) != (b < 0))) q--;
+    return q;
+}
+}  // namespace
+
+extern "C" int64_t msa_consensus(
+    const int32_t* seg, const int64_t* seg_off, int64_t n, int32_t k,
+    int32_t* cons, int32_t* match_a, int32_t* match_b,
+    const int64_t* match_off, int64_t* match_cnt) {
+    std::vector<int64_t> seg_len(n);       // element count per member
+    std::vector<int64_t> pos(n, -1), offset(n, 0), gaps(n, 50);
+    std::vector<int64_t> supported(n, 0), dist(n, 0);
+    for (int64_t i = 0; i < n; i++) {
+        seg_len[i] = seg_off[i + 1] - seg_off[i];
+        match_cnt[i] = 0;
+    }
+    auto SEG = [&](int64_t i, int64_t j) -> int32_t {
+        return seg[seg_off[i] + j];
+    };
+    int64_t cons_len = 0;
+    bool finished = false;
+    while (!finished) {
+        int64_t f_count = 0;
+        int64_t near = 100000;
+        for (int64_t i = 0; i < n; i++) {
+            int64_t p = pos[i];
+            supported[i] = 0;
+            // (len-1)//2 - 1 with Python floor semantics (len>=0)
+            if (seg_len[i] == 0 || p >= (seg_len[i] - 1) / 2 - 1) {
+                f_count++;
+                continue;
+            }
+            int64_t d = SEG(i, p * 2 + 2) - offset[i];
+            dist[i] = d;
+            if (d < near && d > -k) {
+                int32_t next_seed = SEG(i, p * 2 + 3);
+                int32_t min_d, max_d;
+                gap_range((int32_t)(d + gaps[i]), k, &min_d, &max_d);
+                min_d -= (int32_t)gaps[i];
+                max_d -= (int32_t)gaps[i];
+                if (near > max_d) near = max_d;
+                supported[i] = 1;
+                for (int64_t j = 0; j < n; j++) {
+                    if (seg_len[j] == 0 || j == i) continue;
+                    int64_t p2 = pos[j] + 1;
+                    if (p2 < seg_len[j] / 2) {
+                        int32_t min2, max2;
+                        gap_range((int32_t)(d + gaps[j]), k, &min2, &max2);
+                        if (min_d < min2) min2 = min_d;
+                        if (max_d > max2) max2 = max_d;
+                        int64_t other_d = SEG(j, p2 * 2) - offset[j];
+                        while (other_d < min2 && p2 < seg_len[j] / 2) {
+                            p2++;
+                            if (p2 >= seg_len[j] / 2) break;
+                            other_d += SEG(j, p2 * 2) + k;
+                        }
+                        while (other_d < max2 && p2 < seg_len[j] / 2) {
+                            if (SEG(j, p2 * 2 + 1) == next_seed) {
+                                supported[i]++;
+                                dist[i] += other_d;
+                                break;
+                            }
+                            p2++;
+                            if (p2 >= seg_len[j] / 2) break;
+                            other_d += SEG(j, p2 * 2) + k;
+                        }
+                    }
+                }
+            }
+        }
+        if (f_count >= n) break;
+        // select the minimum-distance supported option
+        int64_t minseed = -1, mindist = 0, minsup = 0;
+        int32_t min_d = 0, max_d = 0;
+        for (int64_t i = 0; i < n; i++) {
+            int64_t d = dist[i];
+            if (supported[i] > 1) {
+                // Python: d // s if d >= 0 else -((-d) // s)  (trunc)
+                d = (d >= 0) ? d / supported[i]
+                             : -((-d) / supported[i]);
+                int64_t seedv = SEG(i, pos[i] * 2 + 3);
+                if (minseed == -1
+                        || (minseed == seedv && supported[i] > minsup)
+                        || (minseed != seedv && mindist > d)) {
+                    minsup = supported[i];
+                    mindist = d;
+                    minseed = seedv;
+                    gap_range((int32_t)(d + gaps[i]), k, &min_d, &max_d);
+                    min_d -= (int32_t)gaps[i];
+                    max_d -= (int32_t)gaps[i];
+                }
+            }
+        }
+        if (minseed == -1) {
+            // no supports: step the shortest gap.  NOTE: the Python
+            // oracle (faithful to the reference) bounds pos[i] by
+            // len(segments)//2 == n//2 here — the MEMBER COUNT, not the
+            // member's own length — and uses floor division on d.
+            int64_t min_index = -1, min_dist = 100000;
+            for (int64_t i = 0; i < n; i++) {
+                int64_t d = dist[i];
+                if (supported[i] > 1)
+                    d = floor_div_i32((int32_t)d, (int32_t)supported[i]);
+                if (seg_len[i] != 0 && pos[i] < n / 2 && d < min_dist) {
+                    min_dist = d;
+                    min_index = i;
+                }
+            }
+            if (min_index == -1) break;
+            for (int64_t i = 0; i < n; i++) {
+                if (seg_len[i] != 0) {
+                    gaps[i] += min_dist;
+                    offset[i] += min_dist;
+                }
+            }
+            gaps[min_index] = 0;
+            offset[min_index] = 0;
+            pos[min_index]++;
+            continue;
+        }
+        cons[cons_len++] = (int32_t)mindist;
+        cons[cons_len++] = (int32_t)minseed;
+        // build matchings and step past
+        f_count = 0;
+        for (int64_t i = 0; i < n; i++) {
+            if (seg_len[i] == 0) {
+                f_count++;
+                continue;
+            }
+            int64_t match_dex = pos[i] + 1;
+            if (match_dex < seg_len[i] / 2) {
+                int32_t min2, max2;
+                gap_range((int32_t)(mindist + gaps[i]), k, &min2, &max2);
+                if (min_d < min2) min2 = min_d;
+                if (max_d > max2) max2 = max_d;
+                int64_t other_d = SEG(i, match_dex * 2) - offset[i];
+                while (other_d < min2 && match_dex < seg_len[i] / 2) {
+                    match_dex++;
+                    if (match_dex >= seg_len[i] / 2) break;
+                    other_d += SEG(i, match_dex * 2) + k;
+                }
+                bool found = false;
+                while (other_d < max2 && match_dex < seg_len[i] / 2) {
+                    if (SEG(i, match_dex * 2 + 1) == minseed) {
+                        pos[i] = match_dex;
+                        offset[i] = 0;
+                        gaps[i] = 0;
+                        int64_t c = match_cnt[i]++;
+                        match_a[match_off[i] + c] =
+                            (int32_t)(cons_len / 2 - 1);
+                        match_b[match_off[i] + c] = (int32_t)match_dex;
+                        found = true;
+                        break;
+                    }
+                    match_dex++;
+                    if (match_dex >= seg_len[i] / 2) break;
+                    other_d += SEG(i, match_dex * 2) + k;
+                }
+                if (!found) {
+                    gaps[i] += mindist;
+                    offset[i] += mindist;
+                    int64_t p = pos[i];
+                    while (p < seg_len[i] / 2
+                           && offset[i] > SEG(i, p * 2 + 2) + 50) {
+                        offset[i] -= SEG(i, p * 2 + 2) + k;
+                        p++;
+                        pos[i]++;
+                    }
+                    if (p >= seg_len[i] / 2) f_count++;
+                }
+            } else {
+                f_count++;
+            }
+        }
+        finished = f_count >= n;
+    }
+    return cons_len;
+}
