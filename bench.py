@@ -454,15 +454,15 @@ def bench_overlap():
     prepped = prep_round(0)
     ov, queries, _ = prepped
     t1 = time.time()
-    eng, chain_futs = ov.dispatch_find(queries)
-    jax.block_until_ready(chain_futs[1])
+    eng, subs = ov.dispatch_find(queries)
+    jax.block_until_ready([f[1] for _, f in subs])
     t_dev = time.time() - t1
-    ov.collect_find(queries, (eng, chain_futs))
-    budget = chain_futs[2]
+    ov.collect_find(queries, (eng, subs))
+    budget = sum(f[2] for _, f in subs)
     from downpore_tpu.ops.chain import _bucket
     M2 = _bucket(2 * len(queries) // 2)
     model = M2 * eng.nq * eng.C + 2 * budget * eng.nq * eng.nt \
-        + chain_dp_bytes(budget, eng.nq)
+        + chain_dp_bytes(budget // max(1, len(subs)), eng.nq) * len(subs)
     bw = bw_util(model, t_dev)
     note(f"overlap round kernel: dev+dispatch={t_dev:.2f}s "
          f"model={model / 1e9:.2f}GB bw_util={bw:.2f} budget={budget}")

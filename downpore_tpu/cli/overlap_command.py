@@ -153,6 +153,9 @@ class OverlapCommand(Command):
             q_hits = sum(1 for r in query_results if len(r) > 1)
             print(f"Total {hits} hits across {q_hits} overlaps.",
                   file=sys.stderr)
+            # final checks are independent per query but GIL-bound
+            # (thread pools measured 1.6x SLOWER); compute sequentially,
+            # apply PAF output + ignores in query order
             for results in query_results:
                 if len(results) > 1:
                     self._final_check(results, index, seq_set,
@@ -180,13 +183,25 @@ class OverlapCommand(Command):
     def _final_check(self, results, index, seq_set, overlap_size):
         """PAF emission + full-coverage ignore
         (ref: commands/overlap.go:197-233)."""
+        lines, ignores = self._final_check_compute(results, index,
+                                                   seq_set, overlap_size)
+        for sid in ignores:
+            seq_set.set_ignore(sid, True)
+        for ln in lines:
+            print(ln)
+
+    def _final_check_compute(self, results, index, seq_set, overlap_size):
+        """Side-effect-free final check: returns (PAF lines, read ids to
+        ignore) so a worker pool can run checks concurrently."""
         from ..overlap import build_consensus
         k = index.k
+        lines = []
+        ignores = []
         contig = build_consensus(index, results)
         if contig is None or len(contig.parts) <= 1:
-            return
+            return lines, ignores
         if contig.seq_lengths[0] <= overlap_size * 2:
-            seq_set.set_ignore(contig.parts[0], True)
+            ignores.append(contig.parts[0])
         query_start = contig.offsets[0]
         query_end = query_start + contig.lengths[0]
         for i, part in enumerate(contig.parts[1:]):
@@ -198,10 +213,12 @@ class OverlapCommand(Command):
                 rc = "-"
             covered = max(overlap_size, end - start)
             if contig.seq_lengths[pid] * 9 <= covered * 10:
-                seq_set.set_ignore(part, True)
+                ignores.append(part)
             ident, _ = contig.matches[i].bases_covered(k)
-            print(f"{seq_set.get_name(contig.parts[0])}\t"
-                  f"{contig.seq_lengths[0]}\t{query_start}\t{query_end}\t"
-                  f"{rc}\t{seq_set.get_name(part)}\t"
-                  f"{contig.seq_lengths[pid]}\t{start}\t{end}\t{ident}\t"
-                  f"0\t255")
+            lines.append(
+                f"{seq_set.get_name(contig.parts[0])}\t"
+                f"{contig.seq_lengths[0]}\t{query_start}\t{query_end}\t"
+                f"{rc}\t{seq_set.get_name(part)}\t"
+                f"{contig.seq_lengths[pid]}\t{start}\t{end}\t{ident}\t"
+                f"0\t255")
+        return lines, ignores

@@ -538,10 +538,22 @@ def consensus_kmers_bulk(jobs: List[List[np.ndarray]], table: np.ndarray,
         nj = len(entries)
         t_max = int(L * 1.3) + 32
         t_max = ((t_max + 31) // 32) * 32
-        # the fused kernel's per-cell VMEM (seq block + working arrays +
-        # record rows) must fit; oversized buckets take the XLA engine
-        vmem_est = (JB * N * (L + 2 * BW) * 4 + JB * beam * N * 640
-                    + t_max * 4 * JB * beam * 4) if use_pallas else 0
+        # the fused kernel's per-cell VMEM (seq block + window slices +
+        # int32 bands + record rows) must fit; oversized buckets take the
+        # XLA engine.  Derived from the kernel's ACTUAL transients
+        # (ADVICE r04: the old 640 B/row-member constant predated the
+        # int32 bands and the [R, N, SW] window repeat and undercounted
+        # ~3x at SW=512): seqs block [JB, N, LP], window fetch
+        # [JB, N, SW] + repeat [JB*beam, N, SW], bands [JB*beam, N, 32]
+        # plus ~16 lanes of per-member state, records [T, 4*JB*beam].
+        if use_pallas:
+            SW_, hi_ = _win_params(L)
+            LP_ = ((L + 2 * BW + 127) // 128) * 128
+            vmem_est = (JB * N * (LP_ + SW_) * 4
+                        + JB * beam * N * (SW_ + 32 + 16) * 4
+                        + t_max * 4 * JB * beam * 4)
+        else:
+            vmem_est = 0
         if use_pallas and vmem_est <= 12 * (1 << 20):
             JP = ((nj + JB - 1) // JB) * JB
             LP = (((L + 2 * BW) + 127) // 128) * 128

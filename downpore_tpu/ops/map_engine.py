@@ -97,11 +97,11 @@ def _split_result(vals):
     return head, packed, int(n_ok), int(n_bin)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "Lb", "L"))
-def _slice_chains(head, chains, B: int, Lb: int, L: int):
-    """Live-rows x real-length view of an overlap dispatch result (rows
-    are compacted live-first on device; see collect_chains)."""
-    return head[:B], chains[:B, :Lb], chains[:B, L : L + Lb]
+@functools.partial(jax.jit, static_argnames=("B", "Lb"))
+def _slice_chains(head, cq, ct, B: int, Lb: int):
+    """Kept-rows x real-length view of an overlap dispatch result (rows
+    are compacted kept-first on device; see collect_chains)."""
+    return head[:B], cq[:B, :Lb], ct[:B, :Lb]
 
 
 def _count_rows(membership, buckets):
@@ -819,16 +819,29 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     start = jnp.where(best_len > 0, best_a.astype(jnp.int32), -1)
     _, (cq, ct) = jax.lax.scan(walk, start, None, length=chain_len,
                                unroll=8)
-    cq = cq.T.astype(jnp.int16)      # [B, L], end -> start
+    cq = cq.T.astype(jnp.int8)       # [B, L], end -> start; qi < nq <= 128
     ct = ct.T.astype(jnp.int16)
     head = jnp.stack([jnp.where(live, mi, -1), ci, best_len,
                       dcounts[jnp.clip(mi, 0, M - 1),
                               jnp.clip(ci, 0, C - 1)]], axis=1)
-    # max live chain length: lets the collector slice the chains fetch
-    # to [live rows, real length] (the full [budget, 2L] array is ~6 MB
-    # per overlap round -- the dominant fetch on a slow link)
-    mx = jnp.max(jnp.minimum(best_len, chain_len))
-    return head, jnp.concatenate([cq, ct], axis=1), n_ok, mx
+    # device-side pre-filter: drop rows whose best chain is already
+    # below the per-query static minimum (the host's first-pass filter;
+    # its adaptive raise only drops MORE).  ~40% of gate-passing pairs
+    # fail it, and they were the largest slice of the round fetch.
+    bm = jnp.take(base_min, jnp.clip(mi, 0, M - 1))
+    keep = live & (best_len >= jnp.maximum(1, bm))
+    sel2, n_keep = compact_indices(keep, B)
+    s2 = jnp.clip(sel2, 0, B - 1)
+    dead = sel2 >= B
+    head = jnp.where(dead[:, None], -1, jnp.take(head, s2, axis=0))
+    cq = jnp.take(cq, s2, axis=0)
+    ct = jnp.take(ct, s2, axis=0)
+    keep_len = jnp.where(keep, jnp.minimum(best_len, chain_len), 0)
+    # max KEPT chain length: lets the collector slice the chains fetch
+    # to [kept rows, real length] (the full [budget, 2L] array is tens
+    # of MB per round -- the dominant fetch on a slow link)
+    mx = jnp.max(keep_len)
+    return head, cq, ct, n_ok, n_keep, mx
 
 
 class MapEngine:
@@ -849,7 +862,8 @@ class MapEngine:
 
     def __init__(self, index, k: int, nq: int = 64, nt: int = 320,
                  mesh=None, hit_fraction: float = 0.25,
-                 lean: bool = False, binned: bool = False):
+                 lean: bool = False, binned: bool = False,
+                 h_min: int = 0):
         self.index = index
         self.k = k
         # lean: pack only the mapper-walk summary columns (1 + 7K instead
@@ -860,7 +874,10 @@ class MapEngine:
         self.mesh = mesh
         self.hit_fraction = hit_fraction
         S = index.num_seeds
-        self.H = match_ops.choose_hash_size(S)
+        # h_min: a job's shape plan pins the hash space across rounds —
+        # a smaller final round otherwise picks a smaller H and pays a
+        # fresh executable compile (membership shape is part of the key)
+        self.H = max(match_ops.choose_hash_size(S), h_min)
         self.num_seeds = S
         C = index.num_sequences
         self.C = C
@@ -1569,10 +1586,10 @@ class MapEngine:
                                       small=small)
 
         fut = call(pair_budget)
-        # start the (count, max-length) scalars streaming home NOW: by
+        # start the (counts, max-length) scalars streaming home NOW: by
         # collect_chains time they are local and the two-phase fetch
         # costs one link round trip instead of two
-        _async_copy(fut[2], fut[3])
+        _async_copy(fut[3], fut[4], fut[5])
         # speculative sliced prefetch: slice head/chains to the sizes the
         # LAST round needed (plus headroom, recorded by collect_chains)
         # and start them streaming home now — the transfer rides the link
@@ -1586,11 +1603,11 @@ class MapEngine:
         if hint is not None:
             hB = min(fut[0].shape[0], hint[0])
             hL = min(chain_len, hint[1])
-            pre = _slice_chains(fut[0], fut[1], hB, hL, chain_len)
+            pre = _slice_chains(fut[0], fut[1], fut[2], hB, hL)
             pre_bl = (hB, hL)
             if not _async_copy(*pre):
                 pre = pre_bl = None
-        futs = (M, fut, pair_budget, call, chain_len, pre, pre_bl)
+        futs = (M, fut, pair_budget, call, chain_len, pre, pre_bl, plan)
         return futs if _defer else self.collect_chains(futs)
 
     def dispatch_chains(self, seed_queries: List, base_min: np.ndarray,
@@ -1619,18 +1636,30 @@ class MapEngine:
         M, fut, pair_budget, call, chain_len = futs[:5]
         pre = futs[5] if len(futs) > 5 else None
         pre_bl = futs[6] if len(futs) > 6 else None
+        plan = futs[7] if len(futs) > 7 else None
         hint_key = self._hint_key(pair_budget, chain_len)
-        head_d, chains_d, n_d, mx_d = fut
-        n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
+        head_d, cq_d, ct_d, n_d, nk_d, mx_d = fut
+        n, nk, mx = (int(v) for v in jax.device_get((n_d, nk_d, mx_d)))
         escalated = False
         while n > pair_budget:
-            pair_budget *= 4
+            # escalate straight to the observed need (4096 grid) — each
+            # intermediate size would be both a wasted dispatch and a
+            # fresh executable
+            pair_budget = max(pair_budget * 2,
+                              ((n + n // 8 + 4095) // 4096) * 4096)
             escalated = True
-            head_d, chains_d, n_d, mx_d = call(pair_budget)
-            n, mx = (int(v) for v in jax.device_get((n_d, mx_d)))
+            head_d, cq_d, ct_d, n_d, nk_d, mx_d = call(pair_budget)
+            n, nk, mx = (int(v) for v in
+                         jax.device_get((n_d, nk_d, mx_d)))
             pre = None               # prefetched rows came from the
             # overflowed dispatch — its chains are truncated, refetch
-        B = min(head_d.shape[0], max(1024, -(-n // 1024) * 1024))
+        if escalated and plan is not None:
+            # teach the job plan the real per-round pair need so later
+            # rounds dispatch right-sized the first time
+            plan["budget"] = max(plan.get("budget", 0), pair_budget)
+        # rows are compacted KEPT-first on device (static-min pre-filter)
+        # so the fetch covers nk rows, not the gate count n
+        B = min(head_d.shape[0], max(1024, -(-nk // 1024) * 1024))
         Lb = min(chain_len, max(16, -(-mx // 16) * 16))
         # record next round's prefetch sizes with tight headroom (rows
         # +12.5%, length +25%): round-to-round row counts drift ~2% and
@@ -1642,13 +1671,13 @@ class MapEngine:
         # clamp to the full budget and stream the whole arrays, so skip.
         if not escalated:
             MapEngine._chain_hint[hint_key] = (
-                min(head_d.shape[0], -(-(n + n // 8) // 1024) * 1024),
+                min(head_d.shape[0], -(-(nk + nk // 8) // 1024) * 1024),
                 min(chain_len, max(16, -(-(mx + mx // 4) // 16) * 16)))
         if pre is not None and pre_bl[0] >= B and pre_bl[1] >= Lb:
             head, cq, ct = jax.device_get(pre)
         else:
             head, cq, ct = jax.device_get(
-                _slice_chains(head_d, chains_d, B, Lb, chain_len))
+                _slice_chains(head_d, cq_d, ct_d, B, Lb))
         out = [[] for _ in range(M)]
         live = np.flatnonzero((head[:, 0] >= 0) & (head[:, 0] < M)
                               & (head[:, 2] > 0))

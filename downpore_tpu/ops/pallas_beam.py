@@ -463,7 +463,10 @@ def pallas_consensus_records(seqs, lens, firsts, k: int, beam: int,
     if not L:
         L = LP - 128            # the bulk wrapper's padding convention
     assert J % JB == 0 and LP % 128 == 0
-    assert _win_params(L)[0] <= LP
+    # base + width must stay in bounds for ANY caller-passed L: the max
+    # dynamic slice start is _win_params(L)[1], of width [0], so their
+    # sum (== the padded length lp) must fit the shipped LP
+    assert sum(_win_params(L)) <= LP, (L, LP)
     assert k <= 7  # k-mer values stay below the FULL sentinel
     R = JB * beam
     grid = (J // JB,)

@@ -285,32 +285,53 @@ class Overlapper:
                   f"target seeds (chunk anchors past that are dropped; "
                   f"lower -chunk_size to avoid)", file=sys.stderr)
         eng = MapEngine(self.index, self.index.k, nq=128, nt=nt,
-                        mesh=self.mesh, hit_fraction=self.hit_fraction)
+                        mesh=self.mesh, hit_fraction=self.hit_fraction,
+                        h_min=plan.get("h", 0))
+        plan["h"] = max(plan.get("h", 0), eng.H)
         base_min = np.array(
             [int(self.hit_fraction * q.query.num_seeds + 0.5)
              for q in queries], np.int32)
-        return eng, eng.dispatch_chains([q.query for q in queries],
-                                        base_min, shape_plan=plan)
+        # sub-batch the round's queries against the ONE resident engine:
+        # every sub-dispatch enqueues immediately (device executions
+        # serialize; fetches of batch i ride the link under batch i+1's
+        # compute), each is a small fixed shape (MB = SUB) reusing one
+        # executable, and the collector's host work overlaps in-flight
+        # device work — a single whole-round dispatch serialized a
+        # multi-second DP + fetch + host build with nothing to hide
+        # under.
+        SUB = 2048
+        subs = []
+        for lo in range(0, len(queries), SUB):
+            sq = queries[lo : lo + SUB]
+            subs.append((lo, eng.dispatch_chains(
+                [q.query for q in sq], base_min[lo : lo + SUB],
+                shape_plan=plan)))
+        return eng, subs
 
     def collect_find(self, queries: List[SeedQuery],
                      futs) -> List[SeedMatch]:
         """Blocking half of ``find_overlaps`` (ref matchWorker collation,
-        overlap/overlap.go:346-387)."""
+        overlap/overlap.go:346-387).  Collects the round's sub-batches in
+        order; the adaptive min-match rule is per query, so the split is
+        invisible to results."""
         if futs is None:
             return []
-        eng, chain_futs = futs
-        per_meta = eng.collect_chains(chain_futs)
+        eng, subs = futs
         results: List[SeedMatch] = []
-        for qi, q in enumerate(queries):
-            min_m = int(self.hit_fraction * q.query.num_seeds + 0.5)
-            for ci, dcount, best_len, ma, mb in per_meta[qi]:
-                if best_len < max(1, min_m):
-                    continue
-                m = SeedMatch(ma if isinstance(ma, list) else ma.tolist(),
-                              mb if isinstance(mb, list) else mb.tolist(),
-                              q.query, self.index.sequences[ci],
-                              query_id=q.id, rc_query=q.rc)
-                results.append(m)
-                if best_len * 2 > min_m * 3:
-                    min_m = (best_len * 2) // 3
+        for lo, chain_futs in subs:
+            per_meta = eng.collect_chains(chain_futs)
+            for qi, meta in enumerate(per_meta):
+                q = queries[lo + qi]
+                min_m = int(self.hit_fraction * q.query.num_seeds + 0.5)
+                for ci, dcount, best_len, ma, mb in meta:
+                    if best_len < max(1, min_m):
+                        continue
+                    m = SeedMatch(
+                        ma if isinstance(ma, list) else ma.tolist(),
+                        mb if isinstance(mb, list) else mb.tolist(),
+                        q.query, self.index.sequences[ci],
+                        query_id=q.id, rc_query=q.rc)
+                    results.append(m)
+                    if best_len * 2 > min_m * 3:
+                        min_m = (best_len * 2) // 3
         return results

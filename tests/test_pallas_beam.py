@@ -104,6 +104,16 @@ def test_bit_parity_deletion_drift():
                     128)
 
 
+def test_bit_parity_long_cores_nonzero_window_base():
+    """Cores ~600 bases: L pads to 640, lp = 768 > WINW, so the moving
+    128-aligned window base goes NONZERO and the SW=512 roll cascade
+    (bit 256) engages — the path every short-core case leaves untested
+    (ADVICE r04).  Exact parity against the XLA engine still required."""
+    rng = np.random.default_rng(13)
+    check_identical(make_jobs(rng, JB, 600, n_members=3,
+                              sub=0.04, ins=0.01, dele=0.01), 832)
+
+
 def test_bulk_path_routes_through_pallas(monkeypatch):
     """consensus_kmers_bulk with DOWNPORE_PALLAS_BEAM=interpret must give
     the same consensus arrays as the XLA engine path."""
