@@ -153,11 +153,18 @@ class OverlapCommand(Command):
             q_hits = sum(1 for r in query_results if len(r) > 1)
             print(f"Total {hits} hits across {q_hits} overlaps.",
                   file=sys.stderr)
-            # final checks are independent per query but GIL-bound
-            # (thread pools measured 1.6x SLOWER); compute sequentially,
-            # apply PAF output + ignores in query order
-            for results in query_results:
-                if len(results) > 1:
+            # final checks: the whole round runs in ONE native C++ call
+            # when the toolchain is available (seqscan.cpp
+            # final_check_round — bit-identical to the Python
+            # build_consensus path by parity test; ~6 ms/check of
+            # Python was the GB-scale CLI's dominant host cost).
+            # Python fallback otherwise (thread pools measured 1.6x
+            # SLOWER on this GIL-bound work, so it stays sequential).
+            work = [r for r in query_results if len(r) > 1]
+            done = self._final_checks_native(work, index, seq_set,
+                                             overlap_size)
+            if not done:
+                for results in work:
                     self._final_check(results, index, seq_set,
                                       overlap_size)
             first_sequence = next_first
@@ -179,6 +186,55 @@ class OverlapCommand(Command):
                             if prepped_next else None)
             prepped, futs = prepped_next, futs_next
         ex.shutdown(wait=False)
+
+    def _final_checks_native(self, work, index, seq_set, overlap_size):
+        """Run a round's final checks through the native
+        ``final_check_round``; returns False (caller falls back to the
+        Python path) when the toolchain or a complete RC seed mapping is
+        unavailable."""
+        import os
+        if not work or os.environ.get("DOWNPORE_TPU_PY_FINAL") == "1":
+            return False
+        from .. import native
+        if native.load() is None:
+            return False
+        import numpy as np
+        from ..core.sequence import kmer_reverse_complement_vec
+        k = index.k
+        km = index.seed_kmers_of(np.arange(index.num_seeds))
+        rc_lut = index.kmer_map[
+            kmer_reverse_complement_vec(km, k)].astype(np.int32)
+        if rc_lut.size and rc_lut.min() < 0:
+            return False          # partial RC twin set: python path
+        uniq = []
+        seen = set()
+        for ms in work:
+            for m in ms:
+                for s in (m.seq_a, m.seq_b):
+                    if id(s) not in seen:
+                        seen.add(id(s))
+                        uniq.append(s)
+        table, ids = native.marshal_seq_table(uniq)
+        recs = native.final_check_round(work, table, ids, rc_lut, k)
+        if recs is None:
+            return False
+        for rows in recs:
+            if len(rows) <= 1:
+                continue
+            id0, rc0, off0, len0, seqlen0, _ = rows[0]
+            if seqlen0 <= overlap_size * 2:
+                seq_set.set_ignore(id0, True)
+            for pid in range(1, len(rows)):
+                pi, rci, start, length, seq_len, ident = rows[pid]
+                rc = "-" if rci != rc0 else "+"
+                end = start + length
+                covered = max(overlap_size, end - start)
+                if seq_len * 9 <= covered * 10:
+                    seq_set.set_ignore(pi, True)
+                print(f"{seq_set.get_name(id0)}\t{seqlen0}\t{off0}\t"
+                      f"{off0 + len0}\t{rc}\t{seq_set.get_name(pi)}\t"
+                      f"{seq_len}\t{start}\t{end}\t{ident}\t0\t255")
+        return True
 
     def _final_check(self, results, index, seq_set, overlap_size):
         """PAF emission + full-coverage ignore

@@ -97,6 +97,11 @@ def load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int32, i32p, i32p, i32p,
                                     i64p, i64p]
         L.msa_consensus.restype = ctypes.c_int64
+        L.final_check_round.argtypes = [
+            i32p, i64p, i64p, i64p, i32p, i32p, u8p, i32p, i32p, i64p,
+            i32p, ctypes.c_int64, ctypes.c_int32, i64p, i64p,
+            ctypes.c_int64]
+        L.final_check_round.restype = ctypes.c_int64
         _LIB = L
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"downpore_tpu.native: falling back to numpy ({e})",
@@ -399,3 +404,92 @@ def msa_consensus(segments, k: int):
     out_b = [match_b[match_off[i] : match_off[i] + match_cnt[i]].copy()
              for i in range(n)]
     return cons[:cons_len].copy(), out_a, out_b
+
+
+def final_check_round(checks, seq_table, seq_ids, rc_lut, k: int):
+    """Native round-level overlap final check (seqscan.cpp
+    final_check_round): ``checks`` is a list of match-lists (each a
+    query's SeedMatch hits), ``seq_table`` the marshaled unique
+    sequences as (segments int32, meta int64[6]) pairs, ``seq_ids`` a
+    dict id(obj) -> table index, ``rc_lut`` seed -> RC-seed.  Returns
+    per check a list of (id, rc, offset, length, seq_len, ident)
+    records (empty = no contig), or None when native is unavailable.
+    Bit-identical to the Python build_consensus path by parity test."""
+    L = load()
+    if L is None:
+        return None
+    n_checks = len(checks)
+    segs, metas = seq_table
+    ns = len(segs)
+    lens = np.fromiter((s.shape[0] for s in segs), np.int64, ns)
+    sseg_off = np.zeros(ns + 1, np.int64)
+    np.cumsum(lens, out=sseg_off[1:])
+    sseg = np.empty(int(sseg_off[-1]), np.int32)
+    for i, s in enumerate(segs):
+        sseg[sseg_off[i] : sseg_off[i + 1]] = s
+    smeta = np.ascontiguousarray(metas, np.int64)
+    n_matches = sum(len(c) for c in checks)
+    chk_off = np.zeros(n_checks + 1, np.int64)
+    m_ia = np.empty(n_matches, np.int32)
+    m_ib = np.empty(n_matches, np.int32)
+    m_rcq = np.empty(n_matches, np.uint8)
+    pair_cnt = np.empty(n_matches, np.int64)
+    mi = 0
+    for c, ms in enumerate(checks):
+        for m in ms:
+            m_ia[mi] = seq_ids[id(m.seq_a)]
+            m_ib[mi] = seq_ids[id(m.seq_b)]
+            m_rcq[mi] = 1 if m.rc_query else 0
+            pair_cnt[mi] = len(m.match_a)
+            mi += 1
+        chk_off[c + 1] = mi
+    m_off = np.zeros(n_matches + 1, np.int64)
+    np.cumsum(pair_cnt, out=m_off[1:])
+    ma_flat = np.empty(int(m_off[-1]), np.int32)
+    mb_flat = np.empty(int(m_off[-1]), np.int32)
+    mi = 0
+    for ms in checks:
+        for m in ms:
+            ma_flat[m_off[mi] : m_off[mi + 1]] = m.match_a
+            mb_flat[m_off[mi] : m_off[mi + 1]] = m.match_b
+            mi += 1
+    rc_lut = np.ascontiguousarray(rc_lut, np.int32)
+    out_cnt = np.zeros(n_checks, np.int64)
+    # fixed per-check slots at chk_off[c] (parts <= match count) so the
+    # C++ thread pool writes without coordination
+    cap = max(1, n_matches)
+    out_rec = np.empty((cap, 6), np.int64)
+    total = int(L.final_check_round(
+        _ptr(sseg), _ptr(sseg_off), _ptr(smeta), _ptr(chk_off),
+        _ptr(m_ia), _ptr(m_ib), _ptr(m_rcq), _ptr(ma_flat),
+        _ptr(mb_flat), _ptr(m_off), _ptr(rc_lut), n_checks, k,
+        _ptr(out_cnt), _ptr(out_rec), cap))
+    if total < 0:
+        return None
+    out = []
+    for c in range(n_checks):
+        cnt = int(out_cnt[c])
+        base = int(chk_off[c])
+        out.append(out_rec[base : base + cnt].tolist())
+    return out
+
+
+def marshal_seq_table(seqs):
+    """Flatten unique SeedSequence objects for final_check_round:
+    returns ((segments list, meta array), id(obj) -> index dict)."""
+    segs = []
+    metas = np.empty((len(seqs), 6), np.int64)
+    ids = {}
+    for i, s in enumerate(seqs):
+        ids[id(s)] = i
+        segs.append(s.segments())
+        root = s
+        while root.parent is not None:
+            root = root.parent
+        metas[i, 0] = s.id
+        metas[i, 1] = s.offset
+        metas[i, 2] = s.inset
+        metas[i, 3] = s.length
+        metas[i, 4] = 1 if s.rc else 0
+        metas[i, 5] = root.length
+    return (segs, metas), ids

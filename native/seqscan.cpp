@@ -251,6 +251,8 @@ void pack_windows(const uint8_t* codes, const int64_t* off,
 
 #include <thread>
 #include <vector>
+#include <atomic>
+#include <algorithm>
 
 extern "C" void pack_windows(const uint8_t* codes, const int64_t* off,
                              const int64_t* lens, int64_t m, int32_t k,
@@ -756,4 +758,489 @@ extern "C" int64_t msa_consensus(
         finished = f_count >= n;
     }
     return cons_len;
+}
+
+// ---------------------------------------------------------------------
+// Round-level overlap final check (the reference finalCheckWorker +
+// BuildConsensus + trimToBestSeed pipeline, commands/overlap.go:197-233,
+// overlap/combine.go:8-193) — full C++ port of the Python
+// overlap/combine.py build_consensus flow, which the parity tests pin
+// bit-for-bit.  The Python path remains the oracle and the no-toolchain
+// fallback.  One call per round replaces ~4000 Python final checks of
+// ~6 ms each (the dominant host cost of the GB-scale overlap CLI).
+namespace fc {
+
+struct CSeq {
+    std::vector<int32_t> gaps, seeds;
+    int64_t offset = 0, inset = 0, length = 0, id = -1, root_len = 0;
+    bool rc = false;
+};
+
+static int64_t seed_offset(const CSeq& s, int64_t index, int32_t k) {
+    int64_t o = s.gaps[0];
+    for (int64_t i = 1; i <= index; i++) o += (int64_t)s.gaps[i] + k;
+    return o;
+}
+
+static int64_t seed_offset_from_end(const CSeq& s, int64_t index,
+                                    int32_t k) {
+    int64_t n = (int64_t)s.seeds.size();
+    int64_t o = s.gaps[n];
+    for (int64_t i = index + 1; i < n; i++) o += (int64_t)s.gaps[i] + k;
+    return o;
+}
+
+static void seed_positions(const CSeq& s, int32_t k,
+                           std::vector<int64_t>* pos) {
+    int64_t n = (int64_t)s.seeds.size();
+    pos->resize(n);
+    int64_t acc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        acc += s.gaps[i] + (i > 0 ? k : 0);
+        (*pos)[i] = acc;
+    }
+}
+
+static CSeq seq_rc(const CSeq& s, const int32_t* rc_lut) {
+    CSeq r;
+    r.gaps.assign(s.gaps.rbegin(), s.gaps.rend());
+    size_t n = s.seeds.size();
+    r.seeds.resize(n);
+    for (size_t i = 0; i < n; i++)
+        r.seeds[i] = rc_lut[s.seeds[n - 1 - i]];
+    r.offset = s.offset; r.inset = s.inset; r.length = s.length;
+    r.id = s.id; r.root_len = s.root_len; r.rc = !s.rc;
+    return r;
+}
+
+// seeds/sequence.go:54-82 (seed_sequence.py trimmed)
+static CSeq trimmed(const CSeq& s, int64_t start_offset, int64_t start_seed,
+                    int64_t end_offset, int64_t end_seed, int32_t k) {
+    while (start_seed > 0
+           && start_offset >= (int64_t)s.gaps[start_seed] + k) {
+        start_offset -= (int64_t)s.gaps[start_seed] + k;
+        start_seed--;
+    }
+    int64_t n = (int64_t)s.seeds.size();
+    while (end_seed < n - 1
+           && end_offset >= (int64_t)s.gaps[end_seed + 1] + k) {
+        end_offset -= (int64_t)s.gaps[end_seed + 1] + k;
+        end_seed++;
+    }
+    int64_t off = seed_offset(s, start_seed, k) - start_offset;
+    int64_t ins = seed_offset_from_end(s, end_seed, k) - end_offset;
+    CSeq t;
+    t.gaps.assign(s.gaps.begin() + start_seed,
+                  s.gaps.begin() + end_seed + 2);
+    t.seeds.assign(s.seeds.begin() + start_seed,
+                   s.seeds.begin() + end_seed + 1);
+    t.length = s.length - off - ins;
+    if (s.rc) { t.offset = s.offset + ins; t.inset = s.inset + off; }
+    else      { t.offset = s.offset + off; t.inset = s.inset + ins; }
+    t.rc = s.rc; t.id = s.id; t.root_len = s.root_len;
+    t.gaps.front() = (int32_t)start_offset;
+    t.gaps.back() = (int32_t)end_offset;
+    return t;
+}
+
+// seed_sequence.py reduced (seeds/sequence.go:85-123)
+static bool reduced(const CSeq& s, const std::vector<uint8_t>& use,
+                    int32_t k, int64_t min_seeds, CSeq* out,
+                    std::vector<int32_t>* idx_map) {
+    int64_t n = (int64_t)s.seeds.size();
+    if (n == 0) return false;
+    std::vector<int64_t> idx;
+    int64_t prev = -1;
+    for (int64_t i = 0; i < n; i++) {
+        int32_t sd = s.seeds[i];
+        if (sd >= 0 && sd < (int64_t)use.size() && use[sd]) {
+            if (sd != prev) { idx.push_back(i); prev = sd; }
+        }
+    }
+    if ((int64_t)idx.size() < min_seeds) return false;
+    std::vector<int64_t> pos;
+    seed_positions(s, k, &pos);
+    int64_t m = (int64_t)idx.size();
+    out->gaps.resize(m + 1);
+    out->seeds.resize(m);
+    out->gaps[0] = (int32_t)(s.gaps[0] + (pos[idx[0]] - pos[0]));
+    for (int64_t j = 1; j < m; j++)
+        out->gaps[j] = (int32_t)((pos[idx[j]] - pos[idx[j - 1]]) - k);
+    out->gaps[m] = (int32_t)(s.gaps[n] + (pos[n - 1] - pos[idx[m - 1]]));
+    for (int64_t j = 0; j < m; j++) out->seeds[j] = s.seeds[idx[j]];
+    out->offset = s.offset; out->inset = s.inset; out->length = s.length;
+    out->id = s.id; out->root_len = s.root_len; out->rc = s.rc;
+    idx_map->resize(m);
+    for (int64_t j = 0; j < m; j++) (*idx_map)[j] = (int32_t)idx[j];
+    return true;
+}
+
+struct CMatch {
+    std::vector<int32_t> ma, mb;
+    const CSeq* a = nullptr;        // shared consensus
+    CSeq b;
+};
+
+// seed_sequence.py bases_covered (seeds/sequence.go:830-858)
+static void bases_covered(const std::vector<int32_t>& ma,
+                          const std::vector<int32_t>& mb,
+                          const CSeq& a, const CSeq& b, int32_t k,
+                          int64_t* ca, int64_t* cb) {
+    std::vector<int64_t> pa, pb;
+    seed_positions(a, k, &pa);
+    seed_positions(b, k, &pb);
+    int64_t count_a = (int64_t)ma.size() * k, count_b = count_a;
+    for (size_t i = 1; i < ma.size(); i++) {
+        int64_t d1 = pa[ma[i]] - pa[ma[i - 1]] - k;
+        int64_t d2 = pb[mb[i]] - pb[mb[i - 1]] - k;
+        if (d1 < 0) count_a += d1;
+        if (d2 < 0) count_b += d2;
+    }
+    *ca = count_a;
+    *cb = count_b;
+}
+
+// seed_sequence.py get_base_index_scalar (seeds/sequence.go:1190)
+static void get_base_index(const std::vector<int32_t>& ma,
+                           const std::vector<int32_t>& mb,
+                           const CSeq& sa, const CSeq& sb,
+                           int64_t a_index, int32_t k,
+                           int64_t* out_idx, int64_t* out_bases,
+                           int64_t* out_dist) {
+    int64_t before = 0;
+    while (before < (int64_t)ma.size() && ma[before] <= a_index) before++;
+    if (before == 0) {
+        int64_t offset = 0;
+        for (int64_t i = ma[0]; i > a_index; i--)
+            offset += (int64_t)sa.gaps[i] + k;
+        int64_t b_index = mb[0], distance = 0, i = b_index;
+        while (i > 0 && offset > 0) {
+            offset -= (int64_t)sb.gaps[i] + k;
+            distance += (int64_t)sb.gaps[i] + k;
+            b_index--; i--;
+        }
+        if (b_index == 0) {
+            *out_idx = 0; *out_bases = -offset;
+            *out_dist = distance + offset;
+            return;
+        }
+        *out_idx = b_index; *out_bases = -offset; *out_dist = distance;
+        return;
+    }
+    before--;
+    int64_t b_index = mb[before];
+    if (a_index == ma[before]) {
+        *out_idx = b_index; *out_bases = 0; *out_dist = 0;
+        return;
+    }
+    int64_t offset = 0;
+    for (int64_t i = ma[before] + 1; i <= a_index; i++)
+        offset += (int64_t)sa.gaps[i] + k;
+    int64_t distance = 0;
+    int64_t n = (int64_t)sb.seeds.size();
+    int64_t i = b_index + 1;
+    while (i < n + 1 && offset >= (int64_t)sb.gaps[i]) {
+        offset -= (int64_t)sb.gaps[i] + k;
+        distance += (int64_t)sb.gaps[i] + k;
+        b_index++; i++;
+    }
+    if (b_index >= n) {
+        *out_idx = b_index - 1; *out_bases = offset;
+        *out_dist = distance + offset;
+        return;
+    }
+    *out_idx = b_index; *out_bases = offset; *out_dist = distance + offset;
+}
+
+}  // namespace fc
+
+namespace fc {
+
+// seeds/msa.py consensus front half + the shared sweep: members reduced
+// to seeds appearing in >= 2 members, swept by msa_consensus, matches
+// with >= 3 pairs kept (seed indices mapped back through idx_map).
+// Returns false when no consensus (< 2 usable matches).
+static bool msa(const std::vector<CSeq>& seqs, int32_t k,
+                CSeq* cons, std::vector<CMatch>* out) {
+    int64_t n = (int64_t)seqs.size();
+    int32_t max_seed = 0;
+    for (const auto& s : seqs)
+        for (int32_t sd : s.seeds)
+            if (sd > max_seed) max_seed = sd;
+    std::vector<uint8_t> seen(max_seed + 2, 0), use(max_seed + 2, 0);
+    {
+        std::vector<int32_t> mark(max_seed + 2, -1);
+        for (int64_t i = 0; i < n; i++)
+            for (int32_t sd : seqs[i].seeds)
+                if (sd >= 0) {
+                    if (mark[sd] == (int32_t)i) continue;
+                    mark[sd] = (int32_t)i;
+                    if (seen[sd]) use[sd] = 1; else seen[sd] = 1;
+                }
+    }
+    std::vector<CSeq> reds(n);
+    std::vector<std::vector<int32_t>> maps(n);
+    std::vector<uint8_t> have(n, 0);
+    std::vector<int32_t> seg;
+    std::vector<int64_t> seg_off(n + 1, 0);
+    int64_t total_seeds = 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (reduced(seqs[i], use, k, 1, &reds[i], &maps[i])) {
+            have[i] = 1;
+            total_seeds += (int64_t)reds[i].seeds.size();
+        }
+    }
+    for (int64_t i = 0; i < n; i++) {
+        if (have[i]) {
+            const CSeq& r = reds[i];
+            for (size_t j = 0; j < r.seeds.size(); j++) {
+                seg.push_back(r.gaps[j]);
+                seg.push_back(r.seeds[j]);
+            }
+            seg.push_back(r.gaps.back());
+        }
+        seg_off[i + 1] = (int64_t)seg.size();
+    }
+    std::vector<int32_t> cons_buf(2 * total_seeds + 2);
+    std::vector<int64_t> match_off(n + 1, 0);
+    for (int64_t i = 0; i < n; i++)
+        match_off[i + 1] = match_off[i]
+            + (have[i] ? (int64_t)reds[i].seeds.size() : 0);
+    std::vector<int32_t> ma_buf(match_off[n]), mb_buf(match_off[n]);
+    std::vector<int64_t> cnt(n, 0);
+    int64_t cons_len = msa_consensus(
+        seg.data(), seg_off.data(), n, k, cons_buf.data(),
+        ma_buf.data(), mb_buf.data(), match_off.data(), cnt.data());
+    // cons SeedSequence.from_segments (+ trailing 0 gap)
+    cons->gaps.clear(); cons->seeds.clear();
+    for (int64_t j = 0; j + 1 < cons_len; j += 2) {
+        cons->gaps.push_back(cons_buf[j]);
+        cons->seeds.push_back(cons_buf[j + 1]);
+    }
+    cons->gaps.push_back(0);
+    cons->offset = cons->inset = 0;
+    cons->id = -1; cons->rc = false; cons->root_len = 0;
+    int64_t L = 0;
+    for (int32_t g : cons->gaps) L += g;
+    cons->length = L + (int64_t)cons->seeds.size() * k;
+    out->clear();
+    for (int64_t i = 0; i < n; i++) {
+        if (!have[i] || cnt[i] < 3) continue;
+        CMatch m;
+        m.ma.assign(ma_buf.begin() + match_off[i],
+                    ma_buf.begin() + match_off[i] + cnt[i]);
+        m.mb.resize(cnt[i]);
+        for (int64_t j = 0; j < cnt[i]; j++)
+            m.mb[j] = maps[i][mb_buf[match_off[i] + j]];
+        m.b = seqs[i];
+        out->push_back(std::move(m));
+    }
+    return out->size() > 1;
+}
+
+// overlap/combine.py trim_to_best_seed (overlap/combine.go:21-111)
+static void trim_to_best_seed(int64_t upto, std::vector<CMatch>* ms,
+                              int64_t min_match, int32_t k,
+                              CSeq* consensus, std::vector<CSeq>* parts) {
+    int64_t nm = (int64_t)ms->size();
+    parts->resize(nm);
+    int64_t best_count = 0, best_score = 0, best_index = upto;
+    int64_t back_count = 0, back_score = 0;
+    const CSeq& a0 = *(*ms)[0].a;
+    int64_t length = (int64_t)a0.seeds.size();
+    int64_t back_index = length - upto - 1;
+    for (int64_t i = 0; i < upto; i++) {
+        int64_t count = 0, b_count = 0;
+        for (const auto& match : *ms) {
+            for (int32_t index : match.ma) {
+                if (index == i) count++;
+                if (index >= i) break;
+            }
+            for (int64_t j = (int64_t)match.ma.size() - 1; j > 0; j--) {
+                int64_t index = match.ma[j];
+                if (index == length - 1 - i) b_count++;
+                if (index <= length - 1 - i) break;
+            }
+        }
+        if (count - i >= best_score
+                || (best_count < min_match && count >= min_match)) {
+            best_count = count; best_score = count - i; best_index = i;
+        }
+        if (b_count - i >= back_score
+                || (back_count < min_match && b_count >= min_match)) {
+            back_count = b_count; back_score = b_count - i;
+            back_index = length - 1 - i;
+        }
+    }
+    *consensus = trimmed(a0, 0, best_index, 0, back_index, k);
+    for (int64_t j = 0; j < nm; j++) {
+        CMatch& match = (*ms)[j];
+        int64_t index, bases, front_distance;
+        get_base_index(match.ma, match.mb, a0, match.b, best_index, k,
+                       &index, &bases, &front_distance);
+        int64_t b_index, back_bases, back_distance;
+        get_base_index(match.ma, match.mb, a0, match.b, back_index, k,
+                       &b_index, &back_bases, &back_distance);
+        if (bases > -k && index < (int64_t)match.b.seeds.size() - 1) {
+            bases = (int64_t)match.b.gaps[index + 1] + k - bases;
+            index++;
+        } else if (bases < 0) {
+            bases = -bases + k;
+        }
+        (*parts)[j] = trimmed(match.b, bases, index, back_bases, b_index,
+                              k);
+        match.b = (*parts)[j];
+        int64_t front = 0;
+        while (front < (int64_t)match.mb.size() && match.mb[front] < index)
+            front++;
+        int64_t back = (int64_t)match.mb.size() - 1;
+        while (back >= 0 && match.mb[back] > b_index) back--;
+        while (front <= back && match.ma[front] < best_index) front++;
+        while (back >= front && match.ma[back] > back_index) back--;
+        std::vector<int32_t> na, nb;
+        if (front <= back) {
+            na.assign(match.ma.begin() + front,
+                      match.ma.begin() + back + 1);
+            nb.assign(match.mb.begin() + front,
+                      match.mb.begin() + back + 1);
+            for (auto& v : na) v -= (int32_t)best_index;
+            for (auto& v : nb) v -= (int32_t)index;
+        }
+        match.ma = std::move(na);
+        match.mb = std::move(nb);
+    }
+}
+
+}  // namespace fc
+
+// One round's final checks.  Sequence table: sseg/sseg_off interleaved
+// segments; smeta [ns, 6] int64 (id, offset, inset, length, rc,
+// root_len).  Matches flattened per check via chk_off; each match
+// carries (ia, ib) table indices, rc_query, and ma/mb pair lists via
+// m_off.  Output per kept part: 6 int64 (id, rc, offset, length,
+// seq_len, ident) at out_rec; out_cnt[c] parts for check c (0 = no
+// contig).  Returns total parts written, or -1 on capacity overflow.
+extern "C" int64_t final_check_round(
+    const int32_t* sseg, const int64_t* sseg_off, const int64_t* smeta,
+    const int64_t* chk_off, const int32_t* m_ia, const int32_t* m_ib,
+    const uint8_t* m_rcq, const int32_t* ma_flat, const int32_t* mb_flat,
+    const int64_t* m_off, const int32_t* rc_lut, int64_t n_checks,
+    int32_t k, int64_t* out_cnt, int64_t* out_rec, int64_t cap_parts) {
+    using namespace fc;
+    auto load_seq = [&](int64_t si) {
+        CSeq s;
+        const int32_t* p = sseg + sseg_off[si];
+        int64_t len = sseg_off[si + 1] - sseg_off[si];
+        int64_t nseeds = (len - 1) / 2;
+        s.gaps.resize(nseeds + 1);
+        s.seeds.resize(nseeds);
+        for (int64_t j = 0; j < nseeds; j++) {
+            s.gaps[j] = p[2 * j];
+            s.seeds[j] = p[2 * j + 1];
+        }
+        s.gaps[nseeds] = p[2 * nseeds];
+        const int64_t* m = smeta + si * 6;
+        s.id = m[0]; s.offset = m[1]; s.inset = m[2]; s.length = m[3];
+        s.rc = m[4] != 0; s.root_len = m[5];
+        return s;
+    };
+    // independent per-check work, fanned out over a thread pool (no
+    // GIL here): each check writes its parts at fixed slot base
+    // chk_off[c] (parts <= match count), the caller compacts.
+    auto run_check = [&](int64_t c) {
+        out_cnt[c] = 0;
+        int64_t m0 = chk_off[c], m1 = chk_off[c + 1];
+        if (m1 - m0 < 2) return;
+        // RC-normalize (combine.py build_consensus head)
+        std::vector<std::vector<int32_t>> mas, mbs;
+        std::vector<CSeq> sas, sbs;
+        for (int64_t mi = m0; mi < m1; mi++) {
+            CSeq a = load_seq(m_ia[mi]);
+            CSeq b = load_seq(m_ib[mi]);
+            std::vector<int32_t> ma(ma_flat + m_off[mi],
+                                    ma_flat + m_off[mi + 1]);
+            std::vector<int32_t> mb(mb_flat + m_off[mi],
+                                    mb_flat + m_off[mi + 1]);
+            if (m_rcq[mi]) {
+                a = seq_rc(a, rc_lut);
+                b = seq_rc(b, rc_lut);
+                int64_t la = (int64_t)a.seeds.size() - 1;
+                int64_t lb = (int64_t)b.seeds.size() - 1;
+                std::vector<int32_t> ra(ma.rbegin(), ma.rend());
+                std::vector<int32_t> rb(mb.rbegin(), mb.rend());
+                for (auto& v : ra) v = (int32_t)(la - v);
+                for (auto& v : rb) v = (int32_t)(lb - v);
+                ma = std::move(ra); mb = std::move(rb);
+            }
+            mas.push_back(std::move(ma));
+            mbs.push_back(std::move(mb));
+            sas.push_back(std::move(a));
+            sbs.push_back(std::move(b));
+        }
+        const CSeq& a0 = sas[0];
+        std::vector<CSeq> seqs;
+        for (size_t i = 0; i < sas.size(); i++) {
+            int64_t ca, cb;
+            bases_covered(mas[i], mbs[i], sas[i], sbs[i], k, &ca, &cb);
+            if (ca < 25 || cb < 25) continue;
+            seqs.push_back(trimmed(
+                sbs[i], seed_offset(a0, mas[i][0], k), mbs[i][0],
+                seed_offset_from_end(a0, mas[i].back(), k),
+                mbs[i].back(), k));
+        }
+        if (seqs.size() <= 1) return;
+        CSeq cons;
+        std::vector<CMatch> ms;
+        if (!msa(seqs, k, &cons, &ms)) return;
+        for (auto& m : ms) m.a = &cons;
+        int64_t min_match = std::min<int64_t>(5, (int64_t)ms.size());
+        CSeq trimmed_cons;
+        std::vector<CSeq> parts;
+        trim_to_best_seed((int64_t)cons.seeds.size() / 4, &ms, min_match,
+                          k, &trimmed_cons, &parts);
+        for (auto& m : ms) m.a = &trimmed_cons;
+        int64_t np = (int64_t)parts.size();
+        out_cnt[c] = np;
+        for (int64_t j = 0; j < np; j++) {
+            const CSeq& part = parts[j];
+            int64_t* r = out_rec + (m0 + j) * 6;
+            r[0] = part.id;
+            r[1] = part.rc ? 1 : 0;
+            r[2] = part.offset;
+            r[3] = part.root_len - part.offset - part.inset;
+            r[4] = part.root_len;
+            // _final_check's ident for part pid uses matches[pid-1]
+            // (the reference's own off-by-one; parity kept)
+            if (j >= 1) {
+                int64_t ca, cb;
+                bases_covered(ms[j - 1].ma, ms[j - 1].mb, trimmed_cons,
+                              ms[j - 1].b, k, &ca, &cb);
+                r[5] = ca;
+            } else {
+                r[5] = 0;
+            }
+        }
+    };
+    int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads == 1 || n_checks < 8) {
+        for (int64_t c = 0; c < n_checks; c++) run_check(c);
+    } else {
+        std::atomic<int64_t> next(0);
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < nthreads; t++)
+            pool.emplace_back([&]() {
+                for (;;) {
+                    int64_t c = next.fetch_add(1);
+                    if (c >= n_checks) break;
+                    run_check(c);
+                }
+            });
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (int64_t c = 0; c < n_checks; c++) total += out_cnt[c];
+    (void)cap_parts;
+    return total;
 }
