@@ -239,21 +239,162 @@ def _chain_scan_lean(qi, tj, qp, tp, valid, k: int,
     return score, bp
 
 
+def _chain_scan_lean_lvl(qi, tj, qp, tp, valid, k: int,
+                         variant: str = "extend", small: bool = False,
+                         ps: int = 2):
+    """``_chain_scan_lean`` with the scan LEVEL-SYNCHRONOUS over query
+    seeds: anchors from ``make_anchors_topk`` are qi-major with ``ps``
+    occurrences per query seed, same-level anchors can never chain to
+    each other (the recurrence requires qi[p] < qi[t], which also
+    subsumes the sequential ``idx < t`` guard), so all ``ps`` anchors of
+    a level update together from the pre-level state — A/ps sequential
+    steps instead of A at identical results.  The chain DP's serial
+    depth is the map/overlap kernels' critical path on TPU."""
+    n = qi.shape[0]
+    nq = n // ps
+    dt = jnp.int16 if small else jnp.int32
+    neg = jnp.asarray(-(2 ** 14) if small else NEG, dt)
+    if small:
+        qi, tj, qp, tp = (a.astype(dt) for a in (qi, tj, qp, tp))
+    idx = jnp.arange(n)
+    lvl = idx // ps
+    kd = jnp.asarray(k, dt)
+    qp2 = qp.reshape(nq, ps)
+    tp2 = tp.reshape(nq, ps)
+    tj2 = tj.reshape(nq, ps)
+    vd2 = valid.reshape(nq, ps)
+
+    def body(j, state):
+        score, bp = state
+        at_lvl = lvl == j
+        news = []
+        newb = []
+        for occ in range(ps):
+            gap_q = qp2[j, occ] - qp - kd
+            gap_t = tp2[j, occ] - tp - kd
+            ok = (qi.astype(jnp.int32) < j) & valid \
+                & (tj < tj2[j, occ]) \
+                & _window_ok(gap_q.astype(jnp.int32),
+                             gap_t.astype(jnp.int32), k, variant) \
+                & (score > 0)
+            cand = jnp.where(ok, score, neg)
+            best = jnp.argmax(cand)
+            best_score = jnp.max(cand)
+            has_prev = best_score > 0
+            news.append(jnp.where(
+                vd2[j, occ],
+                jnp.where(has_prev, best_score + 1, 1).astype(dt),
+                jnp.asarray(0, dt)))
+            newb.append(jnp.where(
+                vd2[j, occ],
+                jnp.where(has_prev, best.astype(dt), -1),
+                jnp.asarray(-1, dt)))
+        sc = score
+        b = bp
+        for occ in range(ps):
+            sel = at_lvl & (idx % ps == occ)
+            sc = jnp.where(sel, news[occ], sc)
+            b = jnp.where(sel, newb[occ], b)
+        return sc, b
+
+    init = (jnp.zeros(n, dt), jnp.full(n, -1, dt))
+    score, bp = jax.lax.fori_loop(0, nq, body, init, unroll=8)
+    if small:
+        score, bp = score.astype(jnp.int32), bp.astype(jnp.int32)
+    return score, bp
+
+
 def dp_forward_lean(anchors, k: int, variant: str = "extend",
-                    small: bool = False):
+                    small: bool = False, level_ps: int = 0):
     """Forward-only chain DP (see ``_chain_scan_lean``): returns a dict
     with ``qi, tj, f, bp`` — exactly what the overlap best-chain walk
-    consumes, at ~1/4 the device traffic of ``dp_from_anchors``."""
+    consumes, at ~1/4 the device traffic of ``dp_from_anchors``.
+    ``level_ps``: anchors are qi-major with that many occurrences per
+    query seed (make_anchors_topk layout) — enables the level-
+    synchronous scan at half the sequential depth."""
     qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
                              anchors["tp"], anchors["valid"])
-    fwd = jax.vmap(_chain_scan_lean,
-                   in_axes=(0, 0, 0, 0, 0, None, None, None))
-    f, bp = fwd(qi, tj, qp, tp, valid, k, variant, small)
+    if level_ps:
+        fwd = jax.vmap(_chain_scan_lean_lvl,
+                       in_axes=(0, 0, 0, 0, 0, None, None, None, None))
+        f, bp = fwd(qi, tj, qp, tp, valid, k, variant, small, level_ps)
+    else:
+        fwd = jax.vmap(_chain_scan_lean,
+                       in_axes=(0, 0, 0, 0, 0, None, None, None))
+        f, bp = fwd(qi, tj, qp, tp, valid, k, variant, small)
     return {"qi": qi, "tj": tj, "f": f, "bp": bp}
 
 
+def _chain_scan_lvl(qi, tj, qp, tp, valid, k: int,
+                    variant: str = "extend", small: bool = False,
+                    ps: int = 2):
+    """Level-synchronous twin of ``_chain_scan`` (see
+    ``_chain_scan_lean_lvl`` for the equivalence argument): identical
+    outputs at A/ps sequential steps."""
+    n = qi.shape[0]
+    nq = n // ps
+    dt = jnp.int16 if small else jnp.int32
+    neg = jnp.asarray(-(2 ** 14) if small else NEG, dt)
+    if small:
+        qi, tj, qp, tp = (a.astype(dt) for a in (qi, tj, qp, tp))
+    idx = jnp.arange(n)
+    lvl = idx // ps
+    kd = jnp.asarray(k, dt)
+    zero = jnp.asarray(0, dt)
+    qp2 = qp.reshape(nq, ps)
+    tp2 = tp.reshape(nq, ps)
+    tj2 = tj.reshape(nq, ps)
+    vd2 = valid.reshape(nq, ps)
+
+    def body(j, state):
+        score, cov_q, cov_t, s_qp, s_tp, bp = state
+        at_lvl = lvl == j
+        ups = []
+        for occ in range(ps):
+            gap_q = qp2[j, occ] - qp - kd
+            gap_t = tp2[j, occ] - tp - kd
+            ok = (qi.astype(jnp.int32) < j) & valid \
+                & (tj < tj2[j, occ]) \
+                & _window_ok(gap_q.astype(jnp.int32),
+                             gap_t.astype(jnp.int32), k, variant) \
+                & (score > 0)
+            cand = jnp.where(ok, score, neg)
+            best = jnp.argmax(cand)
+            best_score = jnp.max(cand)
+            has_prev = best_score > 0
+            sel = idx == best
+            pick = lambda a: jnp.sum(jnp.where(sel, a, zero)).astype(dt)
+            v = vd2[j, occ]
+            ups.append((
+                jnp.where(v, jnp.where(has_prev, best_score + 1,
+                                       1).astype(dt), zero),
+                jnp.where(v, jnp.where(has_prev, pick(cov_q) + kd
+                                       + jnp.minimum(zero, pick(gap_q)),
+                                       kd), zero),
+                jnp.where(v, jnp.where(has_prev, pick(cov_t) + kd
+                                       + jnp.minimum(zero, pick(gap_t)),
+                                       kd), zero),
+                jnp.where(v, jnp.where(has_prev, pick(s_qp),
+                                       qp2[j, occ]), zero),
+                jnp.where(v, jnp.where(has_prev, pick(s_tp),
+                                       tp2[j, occ]), zero),
+                jnp.where(v, jnp.where(has_prev, best.astype(dt), -1),
+                          jnp.asarray(-1, dt))))
+        outs = [score, cov_q, cov_t, s_qp, s_tp, bp]
+        for occ in range(ps):
+            sel = at_lvl & (idx % ps == occ)
+            outs = [jnp.where(sel, u, o) for u, o in zip(ups[occ], outs)]
+        return tuple(outs)
+
+    init = (jnp.zeros(n, dt),) * 5 + (jnp.full(n, -1, dt),)
+    out = jax.lax.fori_loop(0, nq, body, init, unroll=8)
+    if small:
+        out = tuple(a.astype(jnp.int32) for a in out)
+    return out
+
+
 def dp_from_anchors(anchors, k: int, variant: str = "extend",
-                    small: bool = False):
+                    small: bool = False, level_ps: int = 0):
     """Forward + backward chain DP over a prepared anchor batch.
 
     Returns a dict of ``[P, A]`` arrays:
@@ -268,15 +409,23 @@ def dp_from_anchors(anchors, k: int, variant: str = "extend",
     qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
                              anchors["tp"], anchors["valid"])
 
-    fwd = jax.vmap(_chain_scan, in_axes=(0, 0, 0, 0, 0, None, None, None))
-    f, cov_qf, cov_tf, s_qp, s_tp, bp = fwd(qi, tj, qp, tp, valid, k,
-                                            variant, small)
+    if level_ps:
+        # qi-major / level_ps-minor layout (make_anchors_topk): the
+        # level-synchronous scan halves the sequential depth.  The
+        # reversed backward arrays keep the level structure (pairs map
+        # to pairs under reversal; A is a level_ps multiple).
+        fwd = jax.vmap(lambda a, b, c, d, e: _chain_scan_lvl(
+            a, b, c, d, e, k, variant, small, level_ps))
+    else:
+        fwd = jax.vmap(lambda a, b, c, d, e: _chain_scan(
+            a, b, c, d, e, k, variant, small))
+    f, cov_qf, cov_tf, s_qp, s_tp, bp = fwd(qi, tj, qp, tp, valid)
     # backward pass: reverse anchor order and negate coordinates, turning
     # "best chain starting here" into the same forward recurrence
     rev = lambda x: x[:, ::-1]
-    bb, cov_qb, cov_tb, e_qp, e_tp, _ = fwd(rev(-qi), rev(-tj), rev(-qp),
-                                            rev(-tp), rev(valid), k,
-                                            variant, small)
+    bb, cov_qb, cov_tb, e_qp, e_tp, _ = fwd(rev(-qi), rev(-tj),
+                                            rev(-qp), rev(-tp),
+                                            rev(valid))
     b, cov_qb, cov_tb = rev(bb), rev(cov_qb), rev(cov_tb)
     e_qp, e_tp = -rev(e_qp), -rev(e_tp)
 
