@@ -154,7 +154,7 @@ class CorrectCommand(Command):
             trimmer.trim(seq_set)
             trimmer.print_stats()
 
-        counts = kmer_occurrences(seq_set.get_sequences(), k)
+        counts = kmer_occurrences(seq_set.get_sequences(), k, mesh=mesh)
         values = score_seed_values(counts, k)
 
         while True:

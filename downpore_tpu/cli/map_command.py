@@ -40,15 +40,16 @@ class MapCommand(Command):
         k = parse_int(args["k"])
         ref_set = SequenceSet(args["reference"])
         reference = next(iter(ref_set.get_sequences()))
-        counts = kmer_occurrences(ref_set.get_sequences(), k)
-        values = score_seed_values(counts, k)
-        print("K-mer counting complete. Preparing to start indexing and "
-              "querying...", file=sys.stderr)
         mesh = None
         n_seed = parse_int(args["seed_shards"])
         if parse_bool(args["data_parallel"]) or n_seed > 1:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh(n_seed=n_seed)
+        # multi-device meshes count on device (sharded bincount + psum)
+        counts = kmer_occurrences(ref_set.get_sequences(), k, mesh=mesh)
+        values = score_seed_values(counts, k)
+        print("K-mer counting complete. Preparing to start indexing and "
+              "querying...", file=sys.stderr)
         mapper = Mapper(reference, parse_bool(args["circular"]), k, values,
                         parse_int(args["seed_rate"]),
                         parse_int(args["query_size"]),

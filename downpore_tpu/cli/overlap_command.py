@@ -57,17 +57,18 @@ class OverlapCommand(Command):
 
         seq_set = SequenceSet(args["input"], min_length=overlap_size,
                               cache=parse_bool(args["himem"]))
-        print(f"Counting all {k}-mers in the input...", file=sys.stderr)
-        counts = kmer_occurrences(seq_set.get_sequences(), k)
-        values = score_seed_values(counts, k, args.get("seed_values", ""))
-        print("Counting complete. Starting indexing and querying...",
-              file=sys.stderr)
-
         mesh = None
         n_seed = parse_int(args["seed_shards"])
         if parse_bool(args["data_parallel"]) or n_seed > 1:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh(n_seed=n_seed)
+        print(f"Counting all {k}-mers in the input...", file=sys.stderr)
+        # multi-device meshes count on device (sharded bincount + psum,
+        # parallel.sharded_kmer_histogram)
+        counts = kmer_occurrences(seq_set.get_sequences(), k, mesh=mesh)
+        values = score_seed_values(counts, k, args.get("seed_values", ""))
+        print("Counting complete. Starting indexing and querying...",
+              file=sys.stderr)
         first_sequence = 0
         round_no = 0
         ckpt = args.get("checkpoint") or None

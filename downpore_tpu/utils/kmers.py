@@ -16,8 +16,61 @@ import numpy as np
 from ..core.sequence import Sequence, kmer_value, rolling_kmers
 
 
-def kmer_occurrences(seqs: Iterable[Sequence], k: int) -> np.ndarray:
-    """Dense k-mer counts over all sequences (uint64[4**k])."""
+def kmer_occurrences(seqs: Iterable[Sequence], k: int,
+                     mesh=None) -> np.ndarray:
+    """Dense k-mer counts over all sequences (uint64[4**k]).
+
+    With a multi-device ``mesh`` the histogram runs ON DEVICE through
+    ``parallel.sharded_kmer_histogram`` (data-parallel bincount + psum
+    over the mesh, ref: util/sequtil/kmers.go:34-51) — the genome-scale
+    scaling path for ``-data_parallel`` jobs.  Single-device (and
+    mesh-less) jobs keep the host bincount: shipping every k-mer over a
+    tunnelled link costs 4 bytes/base, far more than counting locally.
+    """
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        return _kmer_occurrences_device(seqs, k, mesh)
+    return _kmer_occurrences_host(seqs, k)
+
+
+def _kmer_occurrences_device(seqs: Iterable[Sequence], k: int,
+                             mesh) -> np.ndarray:
+    """Device-sharded histogram: k-mers batch into fixed [D, CH] blocks
+    (pad -1), each block one sharded bincount+psum dispatch."""
+    import jax
+    from ..parallel.mesh import sharded_kmer_histogram
+    hist = sharded_kmer_histogram(mesh, k)
+    D = mesh.size
+    CH = 1 << 20                       # 4 MB per device block
+    buf = np.full(D * CH, -1, np.int32)
+    fill = 0
+    total = None                       # device-resident running total
+
+    def flush():
+        nonlocal fill, total
+        if fill == 0:
+            return
+        buf[fill:] = -1
+        part = hist(buf.reshape(D, CH))
+        total = part if total is None else total + part
+        fill = 0
+
+    for seq in seqs:
+        ks = seq.kmers(k).astype(np.int32)
+        lo = 0
+        while lo < ks.size:
+            take = min(ks.size - lo, buf.size - fill)
+            buf[fill : fill + take] = ks[lo : lo + take]
+            fill += take
+            lo += take
+            if fill == buf.size:
+                flush()
+    flush()
+    if total is None:
+        return np.zeros(4 ** k, dtype=np.uint64)
+    return np.asarray(jax.device_get(total)).astype(np.uint64)
+
+
+def _kmer_occurrences_host(seqs: Iterable[Sequence], k: int) -> np.ndarray:
     size = 4 ** k
     counts = np.zeros(size, dtype=np.int64)
     # block accumulation: one bincount per ~8M k-mers instead of one

