@@ -311,7 +311,12 @@ def dp_forward_lean(anchors, k: int, variant: str = "extend",
     consumes, at ~1/4 the device traffic of ``dp_from_anchors``.
     ``level_ps``: anchors are qi-major with that many occurrences per
     query seed (make_anchors_topk layout) — enables the level-
-    synchronous scan at half the sequential depth."""
+    synchronous scan at half the sequential depth.  NOTE: measured
+    SLOWER than the sequential scan at production shapes on TPU v5e
+    (trim bench 6.9k -> 5.2k reads/s; the 2x-wider level body fuses
+    worse than 2x as many narrow steps), so production call sites leave
+    it off; kept with its bit-parity tests as the starting point for a
+    future scan redesign."""
     qi, tj, qp, tp, valid = (anchors["qi"], anchors["tj"], anchors["qp"],
                              anchors["tp"], anchors["valid"])
     if level_ps:

@@ -396,7 +396,7 @@ def _chain_pack_tail(mi, ci, dc, live, n_ok, q_seeds, q_pos, base_min,
                                   ci_p.reshape(NCH, CH)))
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
-    out = dp_from_anchors(anchors, k, small=small, level_ps=2)
+    out = dp_from_anchors(anchors, k, small=small)
     packed = summarize_dp(out, mm, jnp.take(q_len, mi_b), k, top_k,
                           lean=lean)
     head = jnp.concatenate([
@@ -795,7 +795,7 @@ def _overlap_from_counts(counts, dcounts, q_seeds, q_pos, min_count,
     anchors = {key: v.reshape(NCH * CH, *v.shape[2:])[:B]
                for key, v in anchors.items()}
     # forward-only lean DP: the walk below consumes only f/bp/qi/tj
-    out = dp_forward_lean(anchors, k, variant, small=small, level_ps=2)
+    out = dp_forward_lean(anchors, k, variant, small=small)
     f, bp = out["f"], out["bp"]
     qi_a, tj_a = out["qi"], out["tj"]
     A = f.shape[1]
