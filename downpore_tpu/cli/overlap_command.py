@@ -107,17 +107,18 @@ class OverlapCommand(Command):
         prepped = prep_round(first_sequence)
         futs = prepped[1].dispatch_find(prepped[2]) if prepped else None
         # SPECULATIVELY prep the next round on a WORKER THREAD while this
-        # round's find is in flight AND while its results are collected/
-        # processed (the native seed walks release the GIL); the prepped
-        # round is then dispatched two-deep so its index upload rides the
-        # link alongside the current round's result fetch.  The prep
-        # depends on the read set's ignore flags, which a round's final
-        # check may still change (full-coverage ignores, ref
+        # round's find is in flight (the native seed walks release the
+        # GIL).  The prep depends on the read set's ignore flags, which
+        # a round's final check changes (full-coverage ignores, ref
         # commands/overlap.go:205,221-223) — the flag count is
         # snapshotted at submit time and the prep redone sequentially if
         # it moved, so output stays identical to the unpipelined driver
         # (ignores only ever flip to True, so an unchanged count means
-        # the speculative prep saw clean state).
+        # the speculative prep saw clean state).  The next round's
+        # DISPATCH happens only after this round's final checks settle
+        # the flags: dispatching speculatively meant the near-certain
+        # invalidation re-dispatched every round — the device ran every
+        # find TWICE (measured ~2x round wall at GB scale).
         from concurrent.futures import ThreadPoolExecutor
         ex = ThreadPoolExecutor(max_workers=1)
 
@@ -132,93 +133,72 @@ class OverlapCommand(Command):
             print(f"Using query set with {num_query_seqs} sequences "
                   f"starting from {next_first} against "
                   f"{seq_set.size} sequences.", file=sys.stderr)
-            # two-deep: dispatch round r+1 (its prep ran on the worker
-            # during round r-1's collect/process) before collecting r,
-            # so its index upload rides the link alongside r's fetch;
-            # then queue round r+2's prep under r's collect
-            if next_sub is not None:
-                snap, sub_first, prep_fut = next_sub
-                prepped_next = prep_fut.result()
-            else:
-                snap, sub_first, prepped_next = 0, 0, None
-            futs_next = (prepped_next[1].dispatch_find(prepped_next[2])
-                         if prepped_next else None)
-            next_sub = (submit_prep(prepped_next[3])
-                        if prepped_next else None)
-            matches = overlapper.collect_find(queries, futs)
-            query_results = [[] for _ in range(num_query_seqs)]
-            hits = 0
-            for m in matches:
-                query_results[m.query_id].append(m)
-                hits += 1
-            q_hits = sum(1 for r in query_results if len(r) > 1)
-            print(f"Total {hits} hits across {q_hits} overlaps.",
-                  file=sys.stderr)
             # final checks: the whole round runs in ONE native C++ call
             # when the toolchain is available (seqscan.cpp
             # final_check_round — bit-identical to the Python
             # build_consensus path by parity test; ~6 ms/check of
-            # Python was the GB-scale CLI's dominant host cost).
-            # Python fallback otherwise (thread pools measured 1.6x
-            # SLOWER on this GIL-bound work, so it stays sequential).
-            work = [r for r in query_results if len(r) > 1]
-            done = self._final_checks_native(work, index, seq_set,
+            # Python was the GB-scale CLI's dominant host cost).  The
+            # fast path feeds it straight from the fetched ARRAYS (no
+            # SeedMatch objects); Python fallback otherwise (thread
+            # pools measured 1.6x SLOWER on this GIL-bound work).
+            done = self._final_checks_arrays(overlapper, queries, futs,
+                                             index, seq_set,
                                              overlap_size)
             if not done:
-                for results in work:
-                    self._final_check(results, index, seq_set,
-                                      overlap_size)
+                matches = overlapper.collect_find(queries, futs)
+                query_results = [[] for _ in range(num_query_seqs)]
+                hits = 0
+                for m in matches:
+                    query_results[m.query_id].append(m)
+                    hits += 1
+                q_hits = sum(1 for r in query_results if len(r) > 1)
+                print(f"Total {hits} hits across {q_hits} overlaps.",
+                      file=sys.stderr)
+                work = [r for r in query_results if len(r) > 1]
+                if not self._final_checks_native(work, index, seq_set,
+                                                 overlap_size):
+                    for results in work:
+                        self._final_check(results, index, seq_set,
+                                          overlap_size)
             first_sequence = next_first
             round_no += 1
             if ckpt:
                 seq_set.save_state(ckpt,
                                    {"first_sequence": first_sequence,
                                     "round": round_no})
-            if (prepped_next is not None
-                    and sum(seq_set.ignore) != snap):
-                # a round ignored reads since the speculative prep was
-                # submitted: it saw stale flags — discard and redo it
-                # (and requeue the following prep, whose start sequence
-                # may have moved with the redone query set)
-                prepped_next = prep_round(sub_first)
-                futs_next = (prepped_next[1].dispatch_find(
-                    prepped_next[2]) if prepped_next else None)
-                next_sub = (submit_prep(prepped_next[3])
-                            if prepped_next else None)
+            # resolve the next round's prep, validating against the NOW
+            # settled ignore flags, then dispatch it exactly once
+            if next_sub is not None:
+                snap, sub_first, prep_fut = next_sub
+                prepped_next = prep_fut.result()
+                if (prepped_next is not None
+                        and sum(seq_set.ignore) != snap):
+                    # the speculative prep saw stale flags — redo it on
+                    # the settled state (output stays identical to the
+                    # unpipelined driver)
+                    prepped_next = prep_round(sub_first)
+            else:
+                prepped_next = None
+            futs_next = (prepped_next[1].dispatch_find(prepped_next[2])
+                         if prepped_next else None)
+            next_sub = (submit_prep(prepped_next[3])
+                        if prepped_next else None)
             prepped, futs = prepped_next, futs_next
         ex.shutdown(wait=False)
 
-    def _final_checks_native(self, work, index, seq_set, overlap_size):
-        """Run a round's final checks through the native
-        ``final_check_round``; returns False (caller falls back to the
-        Python path) when the toolchain or a complete RC seed mapping is
-        unavailable."""
-        import os
-        if not work or os.environ.get("DOWNPORE_TPU_PY_FINAL") == "1":
-            return False
-        from .. import native
-        if native.load() is None:
-            return False
+    def _rc_lut(self, index):
+        """seed -> RC-seed table, or None if any twin is missing."""
         import numpy as np
         from ..core.sequence import kmer_reverse_complement_vec
-        k = index.k
         km = index.seed_kmers_of(np.arange(index.num_seeds))
         rc_lut = index.kmer_map[
-            kmer_reverse_complement_vec(km, k)].astype(np.int32)
+            kmer_reverse_complement_vec(km, index.k)].astype(np.int32)
         if rc_lut.size and rc_lut.min() < 0:
-            return False          # partial RC twin set: python path
-        uniq = []
-        seen = set()
-        for ms in work:
-            for m in ms:
-                for s in (m.seq_a, m.seq_b):
-                    if id(s) not in seen:
-                        seen.add(id(s))
-                        uniq.append(s)
-        table, ids = native.marshal_seq_table(uniq)
-        recs = native.final_check_round(work, table, ids, rc_lut, k)
-        if recs is None:
-            return False
+            return None
+        return rc_lut
+
+    def _emit_records(self, recs, seq_set, overlap_size):
+        """Apply native final-check records: ignores + PAF lines."""
         for rows in recs:
             if len(rows) <= 1:
                 continue
@@ -235,6 +215,88 @@ class OverlapCommand(Command):
                 print(f"{seq_set.get_name(id0)}\t{seqlen0}\t{off0}\t"
                       f"{off0 + len0}\t{rc}\t{seq_set.get_name(pi)}\t"
                       f"{seq_len}\t{start}\t{end}\t{ident}\t0\t255")
+
+    def _final_checks_arrays(self, overlapper, queries, futs, index,
+                             seq_set, overlap_size):
+        """Fetch-to-check fast path: the round's matches go from the
+        device fetch straight into the native final check as flat
+        arrays — no SeedMatch objects (they were rebuilt into arrays by
+        the native marshaling anyway).  Returns False to fall back."""
+        import os
+        if futs is None or os.environ.get("DOWNPORE_TPU_PY_FINAL") == "1":
+            return False
+        from .. import native
+        if native.load() is None:
+            return False
+        import numpy as np
+        rc_lut = self._rc_lut(index)
+        if rc_lut is None:
+            return False
+        arrs = overlapper.collect_find_arrays(queries, futs)
+        if arrs is None:
+            print("Total 0 hits across 0 overlaps.", file=sys.stderr)
+            return True
+        qids, rcq, ia, ib, ma_flat, mb_flat, m_off = arrs
+        hits = len(qids)
+        # contiguous qid runs (entries of one qid are adjacent)
+        starts = np.flatnonzero(
+            np.concatenate([[True], qids[1:] != qids[:-1]]))
+        run_len = np.diff(np.concatenate([starts, [hits]]))
+        q_hits = int((run_len > 1).sum())
+        print(f"Total {hits} hits across {q_hits} overlaps.",
+              file=sys.stderr)
+        keep_run = run_len > 1
+        if not keep_run.any():
+            return True
+        rowmask = np.repeat(keep_run, run_len)
+        bl = np.diff(m_off)
+        pairmask = np.repeat(rowmask, bl)
+        bl2 = bl[rowmask]
+        m_off2 = np.zeros(len(bl2) + 1, np.int64)
+        np.cumsum(bl2, out=m_off2[1:])
+        kept_len = run_len[keep_run]
+        chk_off = np.zeros(len(kept_len) + 1, np.int64)
+        np.cumsum(kept_len, out=chk_off[1:])
+        table, _ = native.marshal_seq_table(
+            overlapper.seq_objects(queries))
+        recs = native.final_check_round_arrays(
+            table, chk_off, ia[rowmask],
+            ib[rowmask] + np.int32(len(queries)), rcq[rowmask],
+            ma_flat[pairmask], mb_flat[pairmask], m_off2, rc_lut,
+            index.k)
+        if recs is None:
+            return False
+        self._emit_records(recs, seq_set, overlap_size)
+        return True
+
+    def _final_checks_native(self, work, index, seq_set, overlap_size):
+        """Run a round's final checks through the native
+        ``final_check_round``; returns False (caller falls back to the
+        Python path) when the toolchain or a complete RC seed mapping is
+        unavailable."""
+        import os
+        if not work or os.environ.get("DOWNPORE_TPU_PY_FINAL") == "1":
+            return False
+        from .. import native
+        if native.load() is None:
+            return False
+        k = index.k
+        rc_lut = self._rc_lut(index)
+        if rc_lut is None:
+            return False          # partial RC twin set: python path
+        uniq = []
+        seen = set()
+        for ms in work:
+            for m in ms:
+                for s in (m.seq_a, m.seq_b):
+                    if id(s) not in seen:
+                        seen.add(id(s))
+                        uniq.append(s)
+        table, ids = native.marshal_seq_table(uniq)
+        recs = native.final_check_round(work, table, ids, rc_lut, k)
+        if recs is None:
+            return False
+        self._emit_records(recs, seq_set, overlap_size)
         return True
 
     def _final_check(self, results, index, seq_set, overlap_size):

@@ -26,7 +26,14 @@ def _source_path() -> str:
 
 
 def _lib_path() -> str:
-    return os.path.join("/tmp", "downpore_tpu_seqscan.so")
+    """Library path keyed by a hash of the SOURCE: two checkouts (e.g. a
+    bench worktree of an older commit) previously shared one /tmp path,
+    and whichever built last silently served the other a stale binary
+    with missing symbols (-> numpy fallback)."""
+    import hashlib
+    with open(_source_path(), "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join("/tmp", f"downpore_tpu_seqscan_{tag}.so")
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -415,19 +422,9 @@ def final_check_round(checks, seq_table, seq_ids, rc_lut, k: int):
     per check a list of (id, rc, offset, length, seq_len, ident)
     records (empty = no contig), or None when native is unavailable.
     Bit-identical to the Python build_consensus path by parity test."""
-    L = load()
-    if L is None:
+    if load() is None:
         return None
     n_checks = len(checks)
-    segs, metas = seq_table
-    ns = len(segs)
-    lens = np.fromiter((s.shape[0] for s in segs), np.int64, ns)
-    sseg_off = np.zeros(ns + 1, np.int64)
-    np.cumsum(lens, out=sseg_off[1:])
-    sseg = np.empty(int(sseg_off[-1]), np.int32)
-    for i, s in enumerate(segs):
-        sseg[sseg_off[i] : sseg_off[i + 1]] = s
-    smeta = np.ascontiguousarray(metas, np.int64)
     n_matches = sum(len(c) for c in checks)
     chk_off = np.zeros(n_checks + 1, np.int64)
     m_ia = np.empty(n_matches, np.int32)
@@ -453,6 +450,37 @@ def final_check_round(checks, seq_table, seq_ids, rc_lut, k: int):
             ma_flat[m_off[mi] : m_off[mi + 1]] = m.match_a
             mb_flat[m_off[mi] : m_off[mi + 1]] = m.match_b
             mi += 1
+    return final_check_round_arrays(seq_table, chk_off, m_ia, m_ib,
+                                    m_rcq, ma_flat, mb_flat, m_off,
+                                    rc_lut, k)
+
+
+def final_check_round_arrays(seq_table, chk_off, m_ia, m_ib, m_rcq,
+                             ma_flat, mb_flat, m_off, rc_lut, k: int):
+    """Array-direct entry to the native final check: callers that hold
+    the round's matches as flat arrays (the overlap CLI's fetch-to-
+    check fast path) skip the per-object marshaling entirely."""
+    L = load()
+    if L is None:
+        return None
+    segs, metas = seq_table
+    ns = len(segs)
+    n_checks = len(chk_off) - 1
+    n_matches = len(m_ia)
+    lens = np.fromiter((s.shape[0] for s in segs), np.int64, ns)
+    sseg_off = np.zeros(ns + 1, np.int64)
+    np.cumsum(lens, out=sseg_off[1:])
+    sseg = np.empty(int(sseg_off[-1]), np.int32)
+    for i, s in enumerate(segs):
+        sseg[sseg_off[i] : sseg_off[i + 1]] = s
+    smeta = np.ascontiguousarray(metas, np.int64)
+    chk_off = np.ascontiguousarray(chk_off, np.int64)
+    m_ia = np.ascontiguousarray(m_ia, np.int32)
+    m_ib = np.ascontiguousarray(m_ib, np.int32)
+    m_rcq = np.ascontiguousarray(m_rcq, np.uint8)
+    ma_flat = np.ascontiguousarray(ma_flat, np.int32)
+    mb_flat = np.ascontiguousarray(mb_flat, np.int32)
+    m_off = np.ascontiguousarray(m_off, np.int64)
     rc_lut = np.ascontiguousarray(rc_lut, np.int32)
     out_cnt = np.zeros(n_checks, np.int64)
     # fixed per-check slots at chk_off[c] (parts <= match count) so the

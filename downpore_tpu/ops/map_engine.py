@@ -1621,8 +1621,10 @@ class MapEngine:
                                  chain_len, variant, min_sets,
                                  _defer=True, shape_plan=shape_plan)
 
-    def collect_chains(self, futs):
-        """Blocking half of ``query_chains``.
+    def collect_chains_raw(self, futs):
+        """Fetch half of ``collect_chains``: returns ``(M, head, cq,
+        ct)`` numpy arrays (kept rows compacted first; head columns =
+        query row, chunk, best len, distinct count).
 
         Two-phase fetch: the scalar (count, max chain length) pair
         first, then the head/chain arrays SLICED on device to the
@@ -1632,7 +1634,7 @@ class MapEngine:
         bytes saved dwarf the extra link round trip: a 20x-coverage
         overlap round fetches ~1 MB instead of ~6.5 MB."""
         if isinstance(futs, list):       # empty-input fast path
-            return futs
+            return 0, np.zeros((0, 4), np.int32), None, None
         M, fut, pair_budget, call, chain_len = futs[:5]
         pre = futs[5] if len(futs) > 5 else None
         pre_bl = futs[6] if len(futs) > 6 else None
@@ -1678,6 +1680,15 @@ class MapEngine:
         else:
             head, cq, ct = jax.device_get(
                 _slice_chains(head_d, cq_d, ct_d, B, Lb))
+        return M, head, cq, ct
+
+    def collect_chains(self, futs):
+        """Blocking half of ``query_chains`` — per-query candidate
+        lists built from the raw fetch (see collect_chains_raw for the
+        fetch/escalation mechanics)."""
+        if isinstance(futs, list):       # empty-input fast path
+            return futs
+        M, head, cq, ct = self.collect_chains_raw(futs)
         out = [[] for _ in range(M)]
         live = np.flatnonzero((head[:, 0] >= 0) & (head[:, 0] < M)
                               & (head[:, 2] > 0))

@@ -308,6 +308,84 @@ class Overlapper:
                 shape_plan=plan)))
         return eng, subs
 
+    def collect_find_arrays(self, queries: List[SeedQuery], futs):
+        """Array-direct collect for the native final-check fast path:
+        returns ``(qids, rcq, ia, ib, ma_flat, mb_flat, m_off)`` flat
+        numpy arrays over the round's KEPT matches in query order — no
+        SeedMatch objects, no per-row Python.  The
+        adaptive min-match ratchet (ref matchWorker,
+        overlap/overlap.go:346-387) vectorizes exactly: a dropped row
+        never raises the threshold, so keep_i <=> blen_i >=
+        max(1, m0_q, (2 * cummax_prev(blen))//3) per query row-run.
+
+        ``ia`` indexes the query entries (= position in ``queries``);
+        ``ib`` is the raw index-chunk id (callers building a combined
+        sequence table offset it).  Returns None on the empty round.
+        """
+        if futs is None:
+            return None
+        eng, subs = futs
+        heads, cqs, cts = [], [], []
+        for lo, chain_futs in subs:
+            M, head, cq, ct = eng.collect_chains_raw(chain_futs)
+            live = (head[:, 0] >= 0) & (head[:, 0] < M) & (head[:, 2] > 0)
+            head = head[live].astype(np.int64)
+            head[:, 0] += lo                      # global query-entry row
+            heads.append(head)
+            cqs.append(cq[live])
+            cts.append(ct[live])
+        head = np.concatenate(heads) if heads else np.zeros((0, 4), np.int64)
+        if head.shape[0] == 0:
+            return None
+        qe = head[:, 0]                           # query-entry index
+        blen = head[:, 2]
+        # per-entry adaptive ratchet, segment-cummax via the ascending-
+        # offset trick (rows are query-major within and across subs)
+        m0 = np.array([int(self.hit_fraction * q.query.num_seeds + 0.5)
+                       for q in queries], np.int64)
+        BIGB = 1 << 20
+        lifted = blen + qe * BIGB
+        prev = np.empty_like(lifted)
+        prev[0] = -1
+        np.maximum.accumulate(lifted[:-1], out=prev[1:])
+        prev -= qe * BIGB                         # cummax of blen among
+        boundary = np.empty(len(qe), bool)        # PRIOR same-entry rows
+        boundary[0] = True
+        np.not_equal(qe[1:], qe[:-1], out=boundary[1:])
+        prev[boundary] = 0
+        thresh = np.maximum(np.maximum(1, m0[qe]), (2 * prev) // 3)
+        keep = blen >= thresh
+        head = head[keep]
+        if head.shape[0] == 0:
+            return None
+        # flatten reversed chains without per-row Python: row r
+        # contributes cq[r, blen-1 .. 0]
+        cq = np.concatenate(cqs)[keep]
+        ct = np.concatenate(cts)[keep]
+        bl = head[:, 2]
+        m_off = np.zeros(len(bl) + 1, np.int64)
+        np.cumsum(bl, out=m_off[1:])
+        total = int(m_off[-1])
+        rows = np.repeat(np.arange(len(bl)), bl)
+        within = np.arange(total) - np.repeat(m_off[:-1], bl)
+        pos = np.repeat(bl, bl) - 1 - within
+        ma_flat = cq[rows, pos].astype(np.int32)
+        mb_flat = ct[rows, pos].astype(np.int32)
+        qe = head[:, 0]
+        entry_qid = np.array([q.id for q in queries], np.int64)
+        entry_rc = np.array([q.rc for q in queries], np.uint8)
+        qids = entry_qid[qe]
+        rcq = entry_rc[qe]
+        ia = qe.astype(np.int32)                  # query-entry table slot
+        ib = head[:, 1].astype(np.int32)          # raw chunk id
+        return qids, rcq, ia, ib, ma_flat, mb_flat, m_off
+
+    def seq_objects(self, queries: List[SeedQuery]):
+        """Sequence table order matching collect_find_arrays' ia/ib:
+        query entries first (ia = entry index), then index chunks
+        (ib offset by len(queries))."""
+        return [q.query for q in queries] + list(self.index.sequences)
+
     def collect_find(self, queries: List[SeedQuery],
                      futs) -> List[SeedMatch]:
         """Blocking half of ``find_overlaps`` (ref matchWorker collation,
