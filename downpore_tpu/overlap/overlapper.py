@@ -306,6 +306,18 @@ class Overlapper:
             subs.append((lo, eng.dispatch_chains(
                 [q.query for q in sq], base_min[lo : lo + SUB],
                 shape_plan=plan)))
+            if lo == 0 and len(queries) > SUB \
+                    and "budget_seen" not in plan:
+                # round 0 only: peek the first sub-batch's real pair
+                # count before dispatching the rest — the default
+                # 16/query budget under-sizes high-coverage datasets
+                # and every under-sized sub pays an escalation re-run
+                import jax
+                fut = subs[0][1][1]
+                n = int(jax.device_get(fut[3]))
+                if n > plan.get("budget", 0):
+                    plan["budget"] = ((n + n // 8 + 4095) // 4096) * 4096
+                plan["budget_seen"] = True
         return eng, subs
 
     def collect_find_arrays(self, queries: List[SeedQuery], futs):
