@@ -414,7 +414,9 @@ def bench_overlap():
         the next round's host prep runs on a worker thread under the
         in-flight find AND the current round's collect (the native seed
         walks release the GIL), and its dispatch (index upload) rides
-        the link alongside the result fetch."""
+        the link alongside the result fetch.  Results collect through
+        the production fetch-to-arrays path (the CLI's fast path); the
+        object path is the fallback."""
         from concurrent.futures import ThreadPoolExecutor
         matches = 0
         rounds = 0
@@ -431,7 +433,8 @@ def bench_overlap():
             prep_fut = (ex.submit(prep_round, prepped_next[2])
                         if prepped_next and prepped_next[2] < n_reads
                         else None)
-            matches += len(ov.collect_find(queries, futs))
+            arrs = ov.collect_find_arrays(queries, futs)
+            matches += len(arrs[0]) if arrs is not None else 0
             rounds += 1
             prepped, futs = prepped_next, futs_next
         ex.shutdown(wait=False)
